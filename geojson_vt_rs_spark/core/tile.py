@@ -1,0 +1,205 @@
+"""Per-tile feature emission: transform to tile-local integer coords,
+apply per-zoom tolerance filters, collapse degenerate multis.
+
+Reference: /root/reference/src/tile.rs.
+  * transform_point (tile.rs:351-357): round((p*2^z - tile_xy) * extent)
+    with Rust f64::round = half-AWAY-from-zero — numpy's np.round is
+    half-to-even, so we use a sign-aware floor(|v|+0.5) instead.
+  * emission filters (tile.rs:318-349): line kept when dist > tolerance,
+    ring when area > sq_tolerance, point when z > sq_tolerance; clip-born
+    points carry z=1.0 and always survive.
+  * degenerate collapse (tile.rs:152-168, 225-241, 268-284): a multi
+    geometry with exactly 1 surviving part collapses to the single kind,
+    0 parts emits nothing.  Note the reference pushes *empty* inner
+    lines/rings inside multi paths (tile.rs:331-349) — mirrored.
+  * GeometryCollection flattens into several output features sharing
+    props/id (tile.rs:286-297).
+  * line metrics props mapbox_clip_start/_end = seg_start/dist, seg_end/
+    dist; integral values serialize as JSON ints (tile.rs:178-205).
+  * num_points sums source-feature point counts (tile.rs:81);
+    num_simplified counts emitted points (tile.rs:352).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import List, Optional
+
+import numpy as np
+
+from geojson_vt_rs_spark.core.geom import (
+    GEOM_GEOMETRYCOLLECTION,
+    GEOM_LINESTRING,
+    GEOM_MULTILINESTRING,
+    GEOM_MULTIPOINT,
+    GEOM_MULTIPOLYGON,
+    GEOM_POINT,
+    GEOM_POLYGON,
+    VtFeature,
+    subgeom_view,
+)
+
+TYPE_POINT = 1
+TYPE_LINE = 2
+TYPE_POLYGON = 3
+
+
+def _round_half_away(v: np.ndarray) -> np.ndarray:
+    """Rust f64::round semantics (half away from zero)."""
+    return np.sign(v) * np.floor(np.abs(v) + 0.5)
+
+
+class TileEmitter:
+    """Accumulates one tile's rendered features (ref InternalTile, tile.rs:28-101)."""
+
+    def __init__(
+        self,
+        z: int,
+        x: int,
+        y: int,
+        extent: int,
+        tolerance: float,
+        line_metrics: bool,
+    ):
+        self.z = z
+        self.x = x
+        self.y = y
+        self.z2 = float(2**z)
+        self.extent = float(extent)
+        self.tolerance = tolerance
+        self.sq_tolerance = tolerance * tolerance
+        self.line_metrics = line_metrics
+        self.features: List[dict] = []
+        self.num_points = 0
+        self.num_simplified = 0
+
+    # --- point transform -------------------------------------------------
+    def _transform(self, xs, ys) -> list:
+        self.num_simplified += len(xs)
+        tx = _round_half_away((xs * self.z2 - self.x) * self.extent)
+        ty = _round_half_away((ys * self.z2 - self.y) * self.extent)
+        return [[float(a), float(b)] for a, b in zip(tx, ty)]
+
+    # --- per-kind emitters ------------------------------------------------
+    def _emit(self, tile_type, kind, geometry, tags, id_str, id_num):
+        self.features.append(
+            dict(
+                type=tile_type,
+                kind=kind,
+                geometry=geometry,
+                tags=tags,
+                id_str=id_str,
+                id_num=id_num,
+            )
+        )
+
+    def _line_pts(self, f: VtFeature, p: int) -> list:
+        """transform_line_string (tile.rs:318-329)."""
+        if float(f.part_dist[p]) > self.tolerance:
+            px, py, pz = f.part(p)
+            keep = pz > self.sq_tolerance
+            return self._transform(px[keep], py[keep])
+        return []
+
+    def _ring_pts(self, f: VtFeature, p: int) -> list:
+        """transform_linear_ring (tile.rs:359-376)."""
+        if float(f.part_area[p]) > self.sq_tolerance:
+            px, py, pz = f.part(p)
+            keep = pz > self.sq_tolerance
+            return self._transform(px[keep], py[keep])
+        return []
+
+    def _polygon_rings(self, f: VtFeature, g0: int, g1: int) -> list:
+        """transform_polygon over parts [g0,g1) — keeps empty rings for
+        area-passing rings, like tile.rs:341-349."""
+        return [
+            self._ring_pts(f, p)
+            for p in range(g0, g1)
+            if float(f.part_area[p]) > self.sq_tolerance
+        ]
+
+    def _add_geometry(self, f: VtFeature, tags, id_str, id_num):
+        gt = f.geom_type
+        if gt == GEOM_POINT:
+            px, py, _ = f.part(0)
+            self._emit(TYPE_POINT, gt, self._transform(px, py), tags, id_str, id_num)
+        elif gt == GEOM_MULTIPOINT:
+            px, py, _ = f.part(0)
+            pts = self._transform(px, py)
+            if len(pts) == 1:
+                self._emit(TYPE_POINT, GEOM_POINT, pts, tags, id_str, id_num)
+            elif len(pts) > 1:
+                self._emit(TYPE_POINT, gt, pts, tags, id_str, id_num)
+        elif gt == GEOM_LINESTRING:
+            pts = self._line_pts(f, 0)
+            if pts:
+                if self.line_metrics:
+                    new_tags = dict(tags) if tags else {}
+                    dist = float(f.part_dist[0])
+                    new_tags["mapbox_clip_start"] = _intify(
+                        float(f.part_seg_start[0]) / dist
+                    )
+                    new_tags["mapbox_clip_end"] = _intify(
+                        float(f.part_seg_end[0]) / dist
+                    )
+                    self._emit(TYPE_LINE, gt, [pts], new_tags, id_str, id_num)
+                else:
+                    self._emit(TYPE_LINE, gt, [pts], tags, id_str, id_num)
+        elif gt == GEOM_MULTILINESTRING:
+            # transform_multi_line_string keeps empty inner lines for
+            # dist-passing lines (tile.rs:331-339)
+            lines = [
+                self._line_pts(f, p)
+                for p in range(f.nparts)
+                if float(f.part_dist[p]) > self.tolerance
+            ]
+            if len(lines) == 1:
+                self._emit(TYPE_LINE, GEOM_LINESTRING, lines, tags, id_str, id_num)
+            elif len(lines) > 1:
+                self._emit(TYPE_LINE, gt, lines, tags, id_str, id_num)
+        elif gt == GEOM_POLYGON:
+            rings = self._polygon_rings(f, 0, f.nparts)
+            if rings:
+                self._emit(TYPE_POLYGON, gt, rings, tags, id_str, id_num)
+        elif gt == GEOM_MULTIPOLYGON:
+            polys = []
+            ro = f.ring_offsets
+            for g in range(len(ro) - 1):
+                rings = self._polygon_rings(f, int(ro[g]), int(ro[g + 1]))
+                if rings:
+                    polys.append(rings)
+            if len(polys) == 1:
+                self._emit(TYPE_POLYGON, GEOM_POLYGON, polys[0], tags, id_str, id_num)
+            elif len(polys) > 1:
+                self._emit(TYPE_POLYGON, gt, polys, tags, id_str, id_num)
+        elif gt == GEOM_GEOMETRYCOLLECTION:
+            for s in range(len(f.gc_kinds)):
+                sub = subgeom_view(f, s)
+                self._add_geometry(sub, tags, id_str, id_num)
+
+    def add_feature(self, f: VtFeature):
+        self.num_points += f.num_points
+        tags = json.loads(f.props_json) if f.props_json else None
+        if tags is not None and not tags:
+            tags = None  # empty props -> no tags (tile.rs:86-90)
+        self._add_geometry(f, tags, f.id_str, f.id_num)
+
+
+def _intify(v: float):
+    """Integral floats serialize as JSON ints (tile.rs:183-198)."""
+    return int(v) if float(v).is_integer() else float(v)
+
+
+def emit_tile(
+    features: list,
+    z: int,
+    x: int,
+    y: int,
+    extent: int,
+    tolerance: float,
+    line_metrics: bool,
+) -> TileEmitter:
+    em = TileEmitter(z, x, y, extent, tolerance, line_metrics)
+    for f in features:
+        em.add_feature(f)
+    return em
