@@ -1,0 +1,255 @@
+"""Spark stages of the tiling pipeline: convert, wrap, split, emit.
+
+Each stage is declared on DataFrames; geometry math runs in Arrow-batched
+pandas kernels (mapInPandas / applyInPandas) over the flat encoding —
+no per-row Python objects cross the boundary, and Catalyst sees
+bbox/num_points as plain columns for pruning.
+
+Scale notes (100 TB shape):
+  * convert/wrap/split are narrow per-row transforms — no shuffle; they
+    scale linearly with input splits.
+  * the only shuffle per pyramid level is the groupBy(z,x,y) for tile
+    emission, keyed by the same (z,x,y) the next split reuses; AQE
+    handles skewed (dense-metro) tiles, and hot tiles can additionally be
+    salted upstream (plans/pyramid.py).
+  * stop-condition evaluation is a tiny per-tile aggregate joined back
+    broadcast — never a driver collect of feature rows.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Iterator, List
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from geojson_vt_rs_spark.config import Options, TileOptions
+from geojson_vt_rs_spark.core.clip import clip_feature
+from geojson_vt_rs_spark.core.project import convert_feature
+from geojson_vt_rs_spark.core.tile import TileEmitter
+from geojson_vt_rs_spark.core.wrap import wrap as core_wrap
+from geojson_vt_rs_spark.operators.schema import (
+    FEATURE_SCHEMA,
+    TILE_ROW_SCHEMA,
+    TILED_FEATURE_SCHEMA,
+    feature_to_row,
+    features_to_pdf,
+    pdf_to_features,
+)
+
+FEATURE_COLS = [f.name for f in FEATURE_SCHEMA.fields]
+TILED_COLS = [f.name for f in TILED_FEATURE_SCHEMA.fields]
+
+
+def read_geojson_features(spark: SparkSession, path_or_text) -> DataFrame:
+    """GeoJSON -> raw lon/lat features DataFrame (FEATURE_SCHEMA)."""
+    from geojson_vt_rs_spark.sources.geojson import load_geojson, load_geojson_file
+
+    feats = (
+        load_geojson_file(path_or_text)
+        if isinstance(path_or_text, str) and path_or_text.endswith(".json")
+        else load_geojson(path_or_text)
+    )
+    pdf = features_to_pdf(feats)
+    return spark.createDataFrame(pdf, schema=FEATURE_SCHEMA)
+
+
+def convert_stage(df: DataFrame, tolerance: float, generate_id: bool) -> DataFrame:
+    """Project + metrics + DP importance (convert.rs:148-176).
+
+    generate_id uses feature_seq, the deterministic 0-based input order —
+    identical to the reference's gen_id counter under any partitioning.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: List[dict] = []
+            for f in pdf_to_features(pdf):
+                if generate_id:
+                    f.id_str = None
+                    f.id_num = f.feature_seq
+                c = convert_feature(f, tolerance)
+                if c is not None:
+                    out.append(feature_to_row(c))
+            yield pd.DataFrame(out, columns=FEATURE_COLS)
+
+    return df.mapInPandas(kernel, schema=FEATURE_SCHEMA)
+
+
+def wrap_stage(df: DataFrame, buffer: float, line_metrics: bool) -> DataFrame:
+    """Antimeridian wrap (wrap.rs:19-43) as a single narrow pass.
+
+    Per-feature independent: each feature contributes its left/center/
+    right clips tagged world_copy 0/1/2.  Equivalent to the reference's
+    global left/right-empty shortcut because when both are empty the
+    center clip is a per-feature trivial accept (proof in core/wrap.py).
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: List[dict] = []
+            for f in pdf_to_features(pdf):
+                for g in core_wrap([f], buffer, line_metrics):
+                    out.append(feature_to_row(g))
+            yield pd.DataFrame(out, columns=FEATURE_COLS)
+
+    return df.mapInPandas(kernel, schema=FEATURE_SCHEMA)
+
+
+def split_stage(df: DataFrame, options: Options) -> DataFrame:
+    """One pyramid level: tiled features -> up-to-4-way child features.
+
+    Child clip bands use the half buffer p = 0.5*buffer/extent
+    (lib.rs:340); x is clipped once and reused for both y children.
+    Narrow (no shuffle); bbox trivial accept/reject happens inside the
+    kernel per feature exactly as clip.rs:385-398.
+    """
+    buffer = options.tile.buffer
+    extent = options.tile.extent
+    lm = options.tile.line_metrics
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: List[dict] = []
+            zs = pdf["z"].to_numpy()
+            xs = pdf["x"].to_numpy()
+            ys = pdf["y"].to_numpy()
+            recs = pdf.to_dict("records")
+            for i, rec in enumerate(recs):
+                from geojson_vt_rs_spark.operators.schema import row_to_feature
+
+                f = row_to_feature(rec)
+                z, x, y = int(zs[i]), int(xs[i]), int(ys[i])
+                z2 = float(1 << z)
+                p = 0.5 * buffer / extent
+                left = clip_feature(f, 0, (x - p) / z2, (x + 0.5 + p) / z2, lm)
+                right = clip_feature(f, 0, (x + 0.5 - p) / z2, (x + 1.0 + p) / z2, lm)
+                for dx, half in ((0, left), (1, right)):
+                    for lf in half:
+                        top = clip_feature(lf, 1, (y - p) / z2, (y + 0.5 + p) / z2, lm)
+                        bot = clip_feature(
+                            lf, 1, (y + 0.5 - p) / z2, (y + 1.0 + p) / z2, lm
+                        )
+                        for dy, quarter in ((0, top), (1, bot)):
+                            for qf in quarter:
+                                row = feature_to_row(qf)
+                                row["z"] = z + 1
+                                row["x"] = x * 2 + dx
+                                row["y"] = y * 2 + dy
+                                out.append(row)
+            yield pd.DataFrame(out, columns=TILED_COLS)
+
+    return df.mapInPandas(kernel, schema=TILED_FEATURE_SCHEMA)
+
+
+def clip_xy_stage(
+    df: DataFrame,
+    x_band: tuple,
+    y_band: tuple,
+    line_metrics: bool,
+) -> DataFrame:
+    """One-shot x then y clip (geojson_to_tile path, lib.rs:112-131).
+
+    The bbox trivial-reject predicate is ALSO applied as a Catalyst
+    filter before the kernel so rejected features never reach Python.
+    """
+    xk1, xk2 = x_band
+    yk1, yk2 = y_band
+    pruned = df.filter(
+        ~(
+            (F.col("bbox_max_x") < F.lit(xk1))
+            | (F.col("bbox_min_x") >= F.lit(xk2))
+            | (F.col("bbox_max_y") < F.lit(yk1))
+            | (F.col("bbox_min_y") >= F.lit(yk2))
+        )
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: List[dict] = []
+            for f in pdf_to_features(pdf):
+                for g in clip_feature(f, 0, xk1, xk2, line_metrics):
+                    for h in clip_feature(g, 1, yk1, yk2, line_metrics):
+                        out.append(feature_to_row(h))
+            yield pd.DataFrame(out, columns=FEATURE_COLS)
+
+    return pruned.mapInPandas(kernel, schema=FEATURE_SCHEMA)
+
+
+def _emit_rows(
+    feats_pdf: pd.DataFrame,
+    z: int,
+    x: int,
+    y: int,
+    extent: int,
+    tolerance: float,
+    line_metrics: bool,
+) -> List[dict]:
+    """Render one tile group -> TILE_ROW_SCHEMA dicts (incl. stats row)."""
+    em = TileEmitter(z, x, y, extent, tolerance, line_metrics)
+    ordered = feats_pdf.sort_values(
+        ["world_copy", "feature_seq", "slice_path"], kind="stable"
+    )
+    for f in pdf_to_features(ordered):
+        em.add_feature(f)
+    rows = []
+    for idx, tf in enumerate(em.features):
+        rows.append(
+            dict(
+                z=z,
+                x=x,
+                y=y,
+                feature_idx=idx,
+                type=tf["type"],
+                kind=tf["kind"],
+                geometry_json=json.dumps(tf["geometry"], separators=(",", ":")),
+                tags_json=(
+                    None
+                    if tf["tags"] is None
+                    else json.dumps(tf["tags"], separators=(",", ":"))
+                ),
+                id_str=tf["id_str"],
+                id_num=tf["id_num"],
+                num_points=em.num_points,
+                num_simplified=em.num_simplified,
+            )
+        )
+    rows.append(
+        dict(
+            z=z,
+            x=x,
+            y=y,
+            feature_idx=-1,
+            type=None,
+            kind=None,
+            geometry_json=None,
+            tags_json=None,
+            id_str=None,
+            id_num=None,
+            num_points=em.num_points,
+            num_simplified=em.num_simplified,
+        )
+    )
+    return rows
+
+
+def emit_stage(df: DataFrame, options: Options) -> DataFrame:
+    """Render every (z,x,y) group into tile rows (tile.rs:43-101).
+
+    The groupBy shuffle is the pyramid's only exchange per level; its key
+    (z,x,y) is exactly the key of the downstream write partitioning.
+    """
+    extent = options.tile.extent
+    tol = options.tile.tolerance
+    max_zoom = options.max_zoom
+    lm = options.tile.line_metrics
+
+    def render(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        z, x, y = int(key[0]), int(key[1]), int(key[2])
+        tolerance = 0.0 if z == max_zoom else tol / (float(1 << z) * extent)
+        rows = _emit_rows(pdf, z, x, y, extent, tolerance, lm)
+        return pd.DataFrame(rows, columns=[f.name for f in TILE_ROW_SCHEMA.fields])
+
+    return df.groupBy("z", "x", "y").applyInPandas(render, schema=TILE_ROW_SCHEMA)

@@ -1,0 +1,167 @@
+"""DataFrame schemas + Arrow serde between rows and core.VtFeature.
+
+The flat-array encoding (SURVEY.md §1.4) keeps every geometry a single
+row of primitive arrays — Arrow-friendly, no 4-deep nesting — so pandas
+UDF batches hand numpy arrays straight to the core kernels, zero-copy in
+the common case.  Top-level bbox/num_points columns exist so Catalyst
+evaluates all pruning predicates (trivial accept/reject, stop
+conditions) JVM-side before any Python is invoked.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import types as T
+
+from geojson_vt_rs_spark.core.geom import VtFeature
+
+_arr = T.ArrayType
+
+
+def _f(name, dtype, nullable=True):
+    return T.StructField(name, dtype, nullable)
+
+
+FEATURE_FIELDS = [
+    _f("feature_seq", T.LongType()),
+    _f("world_copy", T.IntegerType()),
+    _f("slice_path", T.StringType()),
+    _f("id_str", T.StringType()),
+    _f("id_num", T.LongType()),
+    _f("props_json", T.StringType()),
+    _f("geom_type", T.IntegerType()),
+    _f("xs", _arr(T.DoubleType())),
+    _f("ys", _arr(T.DoubleType())),
+    _f("zs", _arr(T.DoubleType())),
+    _f("part_offsets", _arr(T.IntegerType())),
+    _f("ring_offsets", _arr(T.IntegerType())),
+    _f("gc_kinds", _arr(T.IntegerType())),
+    _f("gc_part_offsets", _arr(T.IntegerType())),
+    _f("part_dist", _arr(T.DoubleType())),
+    _f("part_seg_start", _arr(T.DoubleType())),
+    _f("part_seg_end", _arr(T.DoubleType())),
+    _f("part_area", _arr(T.DoubleType())),
+    _f("bbox_min_x", T.DoubleType()),
+    _f("bbox_min_y", T.DoubleType()),
+    _f("bbox_max_x", T.DoubleType()),
+    _f("bbox_max_y", T.DoubleType()),
+    _f("num_points", T.IntegerType()),
+]
+
+FEATURE_SCHEMA = T.StructType(FEATURE_FIELDS)
+
+# features flowing through the pyramid carry their tile assignment
+TILED_FEATURE_SCHEMA = T.StructType(
+    [
+        _f("z", T.IntegerType(), False),
+        _f("x", T.IntegerType(), False),
+        _f("y", T.IntegerType(), False),
+    ]
+    + FEATURE_FIELDS
+)
+
+# rendered tile rows: one row per emitted tile feature plus one stats row
+# (feature_idx = -1) per tile so empty tiles exist in the table
+TILE_ROW_SCHEMA = T.StructType(
+    [
+        _f("z", T.IntegerType(), False),
+        _f("x", T.IntegerType(), False),
+        _f("y", T.IntegerType(), False),
+        _f("feature_idx", T.IntegerType(), False),
+        _f("type", T.IntegerType()),
+        _f("kind", T.IntegerType()),
+        _f("geometry_json", T.StringType()),
+        _f("tags_json", T.StringType()),
+        _f("id_str", T.StringType()),
+        _f("id_num", T.LongType()),
+        _f("num_points", T.IntegerType()),
+        _f("num_simplified", T.IntegerType()),
+    ]
+)
+
+
+def feature_to_row(f: VtFeature) -> dict:
+    return dict(
+        feature_seq=f.feature_seq,
+        world_copy=f.world_copy,
+        slice_path=f.slice_path,
+        id_str=f.id_str,
+        id_num=f.id_num,
+        props_json=f.props_json,
+        geom_type=f.geom_type,
+        xs=f.xs,
+        ys=f.ys,
+        zs=f.zs,
+        part_offsets=f.part_offsets,
+        ring_offsets=f.ring_offsets,
+        gc_kinds=None if f.gc_kinds is None else f.gc_kinds.astype(np.int32),
+        gc_part_offsets=f.gc_part_offsets,
+        part_dist=f.part_dist,
+        part_seg_start=f.part_seg_start,
+        part_seg_end=f.part_seg_end,
+        part_area=f.part_area,
+        bbox_min_x=f.bbox[0],
+        bbox_min_y=f.bbox[1],
+        bbox_max_x=f.bbox[2],
+        bbox_max_y=f.bbox[3],
+        num_points=f.num_points,
+    )
+
+
+def _np(v, dtype):
+    if v is None:
+        return None
+    return np.asarray(v, dtype=dtype)
+
+
+def row_to_feature(r) -> VtFeature:
+    """Build a VtFeature from a pandas row / dict of the FEATURE_SCHEMA."""
+    gk = r["gc_kinds"]
+    return VtFeature(
+        geom_type=int(r["geom_type"]),
+        xs=_np(r["xs"], np.float64),
+        ys=_np(r["ys"], np.float64),
+        zs=_np(r["zs"], np.float64),
+        part_offsets=_np(r["part_offsets"], np.int32),
+        ring_offsets=_np(r["ring_offsets"], np.int32),
+        gc_kinds=None if gk is None else np.asarray(gk, dtype=np.int8),
+        gc_part_offsets=_np(r["gc_part_offsets"], np.int32),
+        part_dist=_np(r["part_dist"], np.float64),
+        part_seg_start=_np(r["part_seg_start"], np.float64),
+        part_seg_end=_np(r["part_seg_end"], np.float64),
+        part_area=_np(r["part_area"], np.float64),
+        props_json=r["props_json"] if pd.notna(r["props_json"]) else None,
+        id_str=r["id_str"] if pd.notna(r["id_str"]) else None,
+        id_num=int(r["id_num"]) if pd.notna(r["id_num"]) else None,
+        feature_seq=int(r["feature_seq"]),
+        world_copy=int(r["world_copy"]),
+        slice_path=r["slice_path"] or "",
+        bbox=(
+            float(r["bbox_min_x"]),
+            float(r["bbox_min_y"]),
+            float(r["bbox_max_x"]),
+            float(r["bbox_max_y"]),
+        ),
+        num_points=int(r["num_points"]),
+    )
+
+
+def features_to_pdf(features: list, extra: Optional[dict] = None) -> pd.DataFrame:
+    rows = []
+    for f in features:
+        row = feature_to_row(f)
+        if extra:
+            row.update(extra)
+        rows.append(row)
+    cols = [f.name for f in FEATURE_SCHEMA.fields]
+    if extra:
+        cols = list(extra.keys()) + cols
+    return pd.DataFrame(rows, columns=cols)
+
+
+def pdf_to_features(pdf: pd.DataFrame) -> Iterator[VtFeature]:
+    for r in pdf.to_dict("records"):
+        yield row_to_feature(r)

@@ -1,0 +1,90 @@
+"""End-to-end Spark pipeline tests: the distributed pyramid must produce
+byte-identical tiles to the reference fixtures (same goldens as the local
+suite, executed through DataFrame stages + Arrow kernels)."""
+
+import json
+
+import pytest
+
+from geojson_vt_rs_spark.config import Options, TileOptions
+from geojson_vt_rs_spark.operators.pipeline import read_geojson_features
+from geojson_vt_rs_spark.plans.one_shot import geojson_to_tile_df
+from geojson_vt_rs_spark.plans.pyramid import EMPTY_TILE, SparkGeoJSONVT
+
+from conftest import fixture_path, parse_jsontile, parse_jsontiles
+from conftest import emitted_to_canonical  # noqa: F401  (used by helper below)
+
+
+def spark_tile_canonical(tile) -> list:
+    from geojson_vt_rs_spark.core.geom import GEOM_MULTIPOLYGON
+
+    out = []
+    for f in tile.features:
+        geom = f["geometry"]
+        if f["kind"] == GEOM_MULTIPOLYGON:
+            geom = [ring for poly in geom for ring in poly]
+        if f["type"] == 1:
+            geom = [[float(p[0]), float(p[1])] for p in geom]
+        else:
+            geom = [[[float(p[0]), float(p[1])] for p in part] for part in geom]
+        out.append((f["type"], geom, f["tags"], f["id_str"], f["id_num"]))
+    return out
+
+
+def _expected_tile(name):
+    with open(fixture_path(name)) as fh:
+        return parse_jsontile(json.load(fh))
+
+
+def test_one_shot_flagship(spark):
+    feats = read_geojson_features(spark, fixture_path("us-states.json"))
+    rows = geojson_to_tile_df(spark, feats, 12, 1171, 1566).toPandas()
+    fr = rows[rows.feature_idx >= 0].sort_values("feature_idx")
+    assert len(fr) == 2
+    tags = json.loads(fr.iloc[0]["tags_json"])
+    assert tags["name"] == "District of Columbia"
+
+
+def test_spark_index_us_states(spark):
+    feats = read_geojson_features(spark, fixture_path("us-states.json"))
+    index = SparkGeoJSONVT(spark, feats, Options())
+
+    t = index.get_tile(7, 37, 48)
+    assert spark_tile_canonical(t) == _expected_tile("us-states-z7-37-48.json")
+
+    sq = index.get_tile(9, 148, 192)
+    assert spark_tile_canonical(sq) == _expected_tile("us-states-square.json")
+
+    assert index.get_tile(11, 800, 400) is EMPTY_TILE
+    assert index.get_tile(11, 800, 400) is EMPTY_TILE
+    assert index.total == 37
+
+
+@pytest.mark.parametrize(
+    "inp,exp,imz,imp,lm",
+    [
+        ("us-states.json", "us-states-tiles.json", 7, 200, False),
+        ("dateline.json", "dateline-metrics-tiles.json", 0, 10000, True),
+        ("collection.json", "collection-tiles.json", 0, 10000, False),
+    ],
+)
+def test_spark_tile_corpus(spark, inp, exp, imz, imp, lm):
+    feats = read_geojson_features(spark, fixture_path(inp))
+    index = SparkGeoJSONVT(
+        spark,
+        feats,
+        Options(
+            max_zoom=14,
+            index_max_zoom=imz,
+            index_max_points=imp,
+            tile=TileOptions(line_metrics=lm),
+        ),
+    )
+    expected = parse_jsontiles(fixture_path(exp))
+    actual = {}
+    for tid, t in list(index.get_internal_tiles().items()):
+        key = f"z{t.z}-{t.x}-{t.y}"
+        actual[key] = spark_tile_canonical(index.get_tile(t.z, t.x, t.y))
+    assert set(actual.keys()) == set(expected.keys())
+    for key in expected:
+        assert actual[key] == expected[key], f"tile {key} of {inp}"
