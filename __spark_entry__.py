@@ -333,10 +333,220 @@ SQL_TOKEN_STATS = (
 )
 
 
+# ------------------------------------------------- dedup/similarity batch
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates: char-5-gram shingles -> 8 md5
+    minhashes -> 4 two-row bands -> bucket equi-join -> distinct pairs."""
+    from geojson_vt_rs_spark.operators.text_dedup import minhash_band_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_band_pairs(docs)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash fingerprints (md5 word hashes, majority bit vote)."""
+    from geojson_vt_rs_spark.operators.text_dedup import with_simhash
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return with_simhash(docs).select("doc_id", "simhash")
+
+
+def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: block on the 8-bit prefix, keep pairs with
+    hamming distance <= 3 (bit_count of xor, JVM-side)."""
+    from geojson_vt_rs_spark.operators.text_dedup import with_simhash
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    s = with_simhash(docs).select("doc_id", "simhash")
+    a, b = s.alias("a"), s.alias("b")
+    blk = F.shiftright(F.col("a.simhash"), 8) == F.shiftright(F.col("b.simhash"), 8)
+    return (
+        a.join(b, blk & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))),
+        )
+        .filter(F.col("hamming") <= 3)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("hamming").cast("long").alias("hamming"),
+        )
+    )
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard for the LSH candidate pairs (verify stage of
+    the near-dup pipeline)."""
+    from geojson_vt_rs_spark.operators.text_dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ngram_jaccard_pairs(docs)
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-20 ANN baseline against the vec_id=0 query
+    vector (zip_with dot product, sequential aggregate, round-6 scores)."""
+    from geojson_vt_rs_spark.operators.text_dedup import ann_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = [float(v) for v in emb.filter("vec_id = 0").collect()[0]["embedding"]]
+    return ann_topk(emb, qv, k=20)
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-ratio language guess vs the labeled lang column."""
+    from geojson_vt_rs_spark.operators.text_dedup import with_text_features
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = with_text_features(docs)
+    guess = F.when(
+        F.col("n_stop") * 10 >= F.col("n_tokens"), F.lit("en")
+    ).otherwise(F.lit("other"))
+    return d.select(F.col("lang"), guess.alias("guess")).groupBy(
+        "lang", "guess"
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality aggregates: integer sums + exact-ratio division."""
+    from geojson_vt_rs_spark.operators.text_dedup import with_text_features
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = with_text_features(docs)
+    return d.groupBy("source").agg(
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.sum("n_stop").alias("sum_stop"),
+        F.sum("n_punct").alias("sum_punct"),
+        (F.sum("n_stop").cast("double") / F.sum("n_tokens").cast("double")).alias(
+            "stop_ratio"
+        ),
+        (F.sum("n_punct").cast("double") / F.sum("n_chars").cast("double")).alias(
+            "punct_ratio"
+        ),
+    )
+
+
+def q_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint (md5 of lowercased whitespace-collapsed text,
+    first 15 hex digits as int64) -> duplicate-group histogram."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fp = F.expr(
+        "cast(conv(substr(md5(regexp_replace(lower(text), '\\\\s+', ' ')), 1, 15),"
+        " 16, 10) as bigint)"
+    )
+    return (
+        docs.select(fp.alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("copies"))
+        .groupBy("copies")
+        .agg(F.count(F.lit(1)).alias("n_groups"))
+    )
+
+
+# ---------------------------------------------- end-to-end engine (no SQL)
+def q_vt_total_us_states(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replays the reference's get_tile_us_states scenario (tests.rs:404-431)
+    through the DISTRIBUTED pyramid: build index with default Options,
+    look up z7/37/48, z9/148/192, and the missing z11/800/400 twice, then
+    report the memoized tile total.  The oracle constant 37 is the
+    reference's own asserted value."""
+    from geojson_vt_rs_spark.config import Options
+    from geojson_vt_rs_spark.operators.pipeline import read_geojson_features
+    from geojson_vt_rs_spark.plans.pyramid import SparkGeoJSONVT
+
+    feats = read_geojson_features(spark, US_STATES)
+    index = SparkGeoJSONVT(spark, feats, Options())
+    t1 = index.get_tile(7, 37, 48)
+    t2 = index.get_tile(9, 148, 192)
+    index.get_tile(11, 800, 400)
+    index.get_tile(11, 800, 400)
+    return spark.createDataFrame(
+        [(index.total, len(t1.features), len(t2.features))],
+        "total_tiles long, z7_features long, z9_features long",
+    )
+
+
+SQL_VT_TOTAL = (
+    "SELECT CAST(37 AS BIGINT) AS total_tiles, CAST(6 AS BIGINT) AS z7_features, "
+    "CAST(1 AS BIGINT) AS z9_features"
+)
+
+
 # ----------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: batched quad-cell assignment + per-cell counts at sf0.001."""
     return q_cell_assign(spark, "/root/testdata/sf0.001")
+
+
+def _sql_lang_id() -> str:
+    from geojson_vt_rs_spark.operators.text_dedup import duck_text_features_exprs
+
+    e = duck_text_features_exprs()
+    return (
+        "SELECT lang, CASE WHEN n_stop * 10 >= n_tokens THEN 'en' ELSE 'other' "
+        "END AS guess, count(*) AS n FROM ("
+        f"SELECT lang, {e['n_stop']} AS n_stop, {e['n_tokens']} AS n_tokens "
+        "FROM documents) GROUP BY 1, 2"
+    )
+
+
+def _sql_quality() -> str:
+    from geojson_vt_rs_spark.operators.text_dedup import duck_text_features_exprs
+
+    e = duck_text_features_exprs()
+    return (
+        "SELECT source, sum(n_tokens) AS sum_tokens, sum(n_stop) AS sum_stop, "
+        "sum(n_punct) AS sum_punct, "
+        "CAST(sum(n_stop) AS DOUBLE) / CAST(sum(n_tokens) AS DOUBLE) AS stop_ratio, "
+        "CAST(sum(n_punct) AS DOUBLE) / CAST(sum(n_chars) AS DOUBLE) AS punct_ratio "
+        "FROM ("
+        f"SELECT source, {e['n_tokens']} AS n_tokens, {e['n_stop']} AS n_stop, "
+        f"{e['n_punct']} AS n_punct, {e['n_chars']} AS n_chars FROM documents"
+        ") GROUP BY 1"
+    )
+
+
+def _sql_simhash() -> str:
+    from geojson_vt_rs_spark.operators.text_dedup import duck_simhash_sql_expr
+
+    return f"SELECT doc_id, {duck_simhash_sql_expr()} AS simhash FROM documents"
+
+
+def _sql_simhash_near_pairs() -> str:
+    return (
+        f"WITH s AS ({_sql_simhash()}) "
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming "
+        "FROM s a JOIN s b ON (a.simhash >> 8) = (b.simhash >> 8) "
+        "AND a.doc_id < b.doc_id "
+        "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"
+    )
+
+
+SQL_FINGERPRINT = (
+    "SELECT copies, count(*) AS n_groups FROM ("
+    "SELECT ('0x' || substr(md5(regexp_replace(lower(text), '\\s+', ' ', 'g')),"
+    " 1, 15))::BIGINT AS fp, count(*) AS copies FROM documents GROUP BY 1"
+    ") GROUP BY 1"
+)
+
+
+def _sql_ann_topk(k: int = 20) -> str:
+    # query vector + its norm computed inside DuckDB from the same view
+    return (
+        "WITH q AS (SELECT embedding::DOUBLE[] AS qv, "
+        "sqrt(list_sum(list_transform(embedding::DOUBLE[], v -> v * v))) AS qn "
+        "FROM embeddings WHERE vec_id = 0), "
+        "scored AS (SELECT e.vec_id, round("
+        "list_sum(list_transform(list_zip(e.embedding::DOUBLE[], q.qv), "
+        "p -> p[1] * p[2])) / "
+        "(sqrt(list_sum(list_transform(e.embedding::DOUBLE[], v -> v * v))) * q.qn)"
+        ", 6) AS cos FROM embeddings e CROSS JOIN q) "
+        "SELECT vec_id, rnk, cos FROM (SELECT vec_id, cos, "
+        "row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS rnk FROM scored) "
+        f"WHERE rnk <= {k}"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -350,10 +560,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join": q_knn_join,
         "dedup_exact": q_dedup_exact,
         "token_stats": q_token_stats,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash": q_simhash,
+        "simhash_near_pairs": q_simhash_near_pairs,
+        "ngram_jaccard": q_ngram_jaccard,
+        "ann_topk": q_ann_topk,
+        "lang_id": q_lang_id,
+        "quality_scores": q_quality_scores,
+        "fingerprint_dups": q_fingerprint_dups,
+        "vt_total_us_states": q_vt_total_us_states,
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    from geojson_vt_rs_spark.operators.text_dedup import (
+        duck_minhash_pairs_sql,
+        duck_ngram_jaccard_sql,
+    )
+
     return {
         "cell_assign": SQL_CELL_ASSIGN,
         "tile_stats_per_zoom": SQL_TILE_STATS,
@@ -364,4 +588,13 @@ def oracle_sql() -> dict[str, str]:
         "knn_join": SQL_KNN_JOIN,
         "dedup_exact": SQL_DEDUP_EXACT,
         "token_stats": SQL_TOKEN_STATS,
+        "minhash_pairs": duck_minhash_pairs_sql(),
+        "simhash": _sql_simhash(),
+        "simhash_near_pairs": _sql_simhash_near_pairs(),
+        "ngram_jaccard": duck_ngram_jaccard_sql(),
+        "ann_topk": _sql_ann_topk(20),
+        "lang_id": _sql_lang_id(),
+        "quality_scores": _sql_quality(),
+        "fingerprint_dups": SQL_FINGERPRINT,
+        "vt_total_us_states": SQL_VT_TOTAL,
     }

@@ -1,0 +1,149 @@
+"""Benchmark harness — prints ONE JSON line.
+
+Headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS]:
+
+  vt_pyramid     distributed us-states tile pyramid (index_max_zoom=7,
+                 index_max_points=200 — the 105-tile golden corpus config)
+  graft_images   generate N synthetic image rows -> footprints -> cells ->
+                 PIP join vs us-states z5 tile polygons -> kNN(3) ->
+                 mosaic tiles (the full north-rule pipeline)
+  cell_assign    pure-JVM quad-cell assignment + counts over orders
+  minhash_pairs  MinHash+LSH candidate pairs over documents
+  ann_topk       brute-force cosine top-20 over embeddings
+  knn_join       window-ranked kNN join over customer points
+
+SPARK_GRAFT_SCALING=1 additionally reruns the throughput job at
+local[8] and local[32] and reports scaling efficiency (N vs 4N cores —
+the sandbox stand-in for the two-cluster-size rule)."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_IMAGES = int(os.environ.get("SPARK_GRAFT_IMAGES", "20000"))
+
+
+def _sf_from_dir(d: str) -> float:
+    try:
+        return float(d.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        return -1.0
+
+
+def run_vt_pyramid(spark):
+    from geojson_vt_rs_spark.config import Options, TileOptions
+    from geojson_vt_rs_spark.operators.pipeline import read_geojson_features
+    from geojson_vt_rs_spark.plans.pyramid import SparkGeoJSONVT
+
+    feats = read_geojson_features(spark, "/root/reference/fixtures/us-states.json")
+    idx = SparkGeoJSONVT(
+        spark,
+        feats,
+        Options(max_zoom=14, index_max_zoom=7, index_max_points=200,
+                tile=TileOptions()),
+    )
+    return idx.total
+
+
+def run_graft_images(spark, n=N_IMAGES):
+    from geojson_vt_rs_spark.plans.spatial import (
+        build_tile_polygons,
+        knn_neighbor_tiles,
+        mosaic_tiles,
+        pip_join,
+        with_cells,
+        with_footprints,
+    )
+    from geojson_vt_rs_spark.sources.images import generate_images
+
+    zoom = 5
+    imgs = with_cells(with_footprints(generate_images(spark, n, CPUS * 2)), zoom)
+    imgs = imgs.persist()
+    polys, index = build_tile_polygons(
+        spark, "/root/reference/fixtures/us-states.json", zoom
+    )
+    n_pip = pip_join(imgs, polys, zoom).count()
+    centers = spark.createDataFrame(
+        [(t.x, t.y) for t in index.get_internal_tiles().values()
+         if t.z == zoom and t.features],
+        "x long, y long",
+    )
+    n_knn = knn_neighbor_tiles(imgs, centers, zoom, k=3).count()
+    tiles = mosaic_tiles(imgs, zoom)
+    n_tiles = tiles.count()
+    imgs.unpersist()
+    return dict(rows=n, pip=n_pip, knn=n_knn, mosaic_tiles=n_tiles)
+
+
+def _run_headline(spark, sf_dir):
+    import __spark_entry__ as em
+
+    timings = {}
+
+    t0 = time.time()
+    total = run_vt_pyramid(spark)
+    timings["vt_pyramid"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    g = run_graft_images(spark)
+    timings["graft_images"] = round(time.time() - t0, 3)
+
+    for name in ("cell_assign", "minhash_pairs", "ann_topk", "knn_join"):
+        t0 = time.time()
+        em.queries()[name](spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    return timings, total, g
+
+
+def _throughput_job(spark):
+    """Fixed-size job for the two-parallelism scaling measurement: the
+    image pipeline (cells + PIP + kNN + mosaic) over N_IMAGES rows."""
+    t0 = time.time()
+    g = run_graft_images(spark)
+    dt = time.time() - t0
+    return g["rows"] / dt, dt
+
+
+def main():
+    from geojson_vt_rs_spark.operators.session import get_spark
+
+    out = {"sf": _sf_from_dir(SF_DIR), "unit": "sec"}
+
+    spark = get_spark(cpus=CPUS)
+    t0 = time.time()
+    timings, vt_total, g = _run_headline(spark, SF_DIR)
+    out["value"] = round(time.time() - t0, 3)
+    out["metric"] = "headline_total_sec"
+    out["queries"] = timings
+    out["vt_total_tiles"] = vt_total
+    out["graft_counts"] = g
+    out["images_rows_per_sec"] = round(g["rows"] / timings["graft_images"], 1)
+    spark.stop()
+
+    if os.environ.get("SPARK_GRAFT_SCALING") == "1":
+        scal = {}
+        for c in (8, 32):
+            s = get_spark(app_name=f"bench-scaling-{c}", cpus=c)
+            rps, dt = _throughput_job(s)
+            scal[f"local{c}_rows_per_sec"] = round(rps, 1)
+            scal[f"local{c}_sec"] = round(dt, 3)
+            s.stop()
+        scal["efficiency_n_to_4n"] = round(
+            scal["local32_rows_per_sec"] / (4.0 * scal["local8_rows_per_sec"]), 3
+        )
+        out["scaling"] = scal
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

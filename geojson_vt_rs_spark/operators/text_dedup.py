@@ -1,0 +1,300 @@
+"""Training-data pipeline operators over the documents/embeddings tables:
+exact dedup, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine ANN,
+language-ID, quality scoring, fingerprinting.
+
+Everything is JVM-side column expressions (higher-order functions, no
+Python UDFs); each builder has a DuckDB SQL twin computing byte-identical
+values (md5-derived integer hashes, integer-ratio divisions), which is
+what makes the driver's value-hash oracle pass exactly.
+
+Scale notes: shingle/minhash work is per-row (narrow);  LSH banding turns
+the O(n^2) similarity join into an equi-join on band keys; SimHash
+blocking joins only within a prefix bucket.  All shuffles are on
+hash-uniform keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------- MinHash
+
+N_PERM = 8
+N_BANDS = 4  # 2 rows per band
+
+
+def _spark_shingles(col: str = "text") -> str:
+    # char 5-grams sampled every 3 chars (dialect-shared except range/sequence)
+    return f"transform(sequence(1, greatest(length({col})-4, 1), 3), i -> substr({col}, i, 5))"
+
+
+def _duck_shingles(col: str = "text") -> str:
+    return f"list_transform(range(1, greatest(length({col})-4, 1)+1, 3), i -> substr({col}, i, 5))"
+
+
+def spark_minhash_expr(p: int, col: str = "text") -> str:
+    return (
+        f"array_min(transform({_spark_shingles(col)}, "
+        f"s -> cast(conv(substr(md5(concat('{p}:', s)), 1, 15), 16, 10) as bigint)))"
+    )
+
+
+def duck_minhash_expr(p: int, col: str = "text") -> str:
+    return (
+        f"list_min(list_transform({_duck_shingles(col)}, "
+        f"s -> ('0x' || substr(md5(concat('{p}:', s)), 1, 15))::BIGINT))"
+    )
+
+
+def with_minhashes(docs: DataFrame) -> DataFrame:
+    out = docs
+    for p in range(N_PERM):
+        out = out.withColumn(f"mh{p}", F.expr(spark_minhash_expr(p)))
+    return out
+
+
+def minhash_band_pairs(docs: DataFrame) -> DataFrame:
+    """LSH candidate pairs: equal 2-row band signature -> same bucket ->
+    pair.  Returns distinct (doc_a, doc_b) with the estimated similarity
+    (fraction of equal minhashes over all permutations)."""
+    mh = with_minhashes(docs).select("doc_id", *[f"mh{p}" for p in range(N_PERM)])
+    bands = None
+    for b in range(N_BANDS):
+        d = mh.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                ",", F.col(f"mh{2*b}").cast("string"), F.col(f"mh{2*b+1}").cast("string")
+            ).alias("bkey"),
+            *[f"mh{p}" for p in range(N_PERM)],
+        )
+        bands = d if bands is None else bands.unionByName(d)
+    a = bands.alias("a")
+    bb = bands.alias("b")
+    pairs = (
+        a.join(
+            bb,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            sum(
+                [
+                    (F.col(f"a.mh{p}") == F.col(f"b.mh{p}")).cast("int")
+                    for p in range(N_PERM)
+                ],
+                F.lit(0),
+            ).alias("n_equal"),
+        )
+        .distinct()
+    )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        (F.col("n_equal").cast("double") / float(N_PERM)).alias("est_sim"),
+    )
+
+
+def duck_minhash_pairs_sql() -> str:
+    mh_cols = ", ".join(f"{duck_minhash_expr(p)} AS mh{p}" for p in range(N_PERM))
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"concat(CAST(mh{2*b} AS VARCHAR), ',', CAST(mh{2*b+1} AS VARCHAR)) AS bkey, "
+        + ", ".join(f"mh{p}" for p in range(N_PERM))
+        + " FROM mh"
+        for b in range(N_BANDS)
+    )
+    n_eq = " + ".join(
+        f"(CASE WHEN a.mh{p} = b.mh{p} THEN 1 ELSE 0 END)" for p in range(N_PERM)
+    )
+    return (
+        f"WITH mh AS (SELECT doc_id, {mh_cols} FROM documents), "
+        f"bands AS ({bands}) "
+        f"SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        f"CAST(({n_eq}) AS DOUBLE) / {float(N_PERM)} AS est_sim "
+        f"FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey "
+        f"AND a.doc_id < b.doc_id"
+    )
+
+
+# ---------------------------------------------------------------- SimHash
+
+SIMHASH_BITS = 16
+
+
+def with_simhash(docs: DataFrame) -> DataFrame:
+    """16-bit SimHash over whitespace tokens, md5-derived word hashes.
+    bit j set when more than half the tokens have bit j set."""
+    words = "filter(split(trim(text), '\\\\s+'), w -> length(w) > 0)"
+    h = "cast(conv(substr(md5(w), 1, 15), 16, 10) as bigint)"
+    bits = []
+    for j in range(SIMHASH_BITS):
+        cnt = f"aggregate({words}, 0L, (acc, w) -> acc + ((({h}) >> {j}) & 1))"
+        bits.append(
+            f"(CASE WHEN 2 * ({cnt}) > size({words}) THEN {1 << j} ELSE 0 END)"
+        )
+    return docs.withColumn("simhash", F.expr(" + ".join(bits)).cast("long"))
+
+
+def duck_simhash_sql_expr() -> str:
+    words = "list_filter(regexp_split_to_array(trim(text), '\\s+'), w -> length(w) > 0)"
+    h = "('0x' || substr(md5(w), 1, 15))::BIGINT"
+    bits = []
+    for j in range(SIMHASH_BITS):
+        cnt = f"list_sum(list_transform({words}, w -> (({h}) >> {j}) & 1))"
+        bits.append(
+            f"(CASE WHEN 2 * COALESCE({cnt}, 0) > len({words}) THEN {1 << j} ELSE 0 END)"
+        )
+    return "CAST(" + " + ".join(bits) + " AS BIGINT)"
+
+
+# --------------------------------------------------------- n-gram Jaccard
+
+
+def ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
+    """Exact shingle-set Jaccard for LSH candidate pairs: explode distinct
+    shingles, self-join on shingle within candidate pairs, integer ratio."""
+    sh = docs.select(
+        "doc_id", F.explode(F.expr(_spark_shingles())).alias("s")
+    ).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    cand = minhash_band_pairs(docs).select("doc_a", "doc_b")
+    inter = (
+        cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(
+            sh.alias("sb"),
+            (F.col("doc_b") == F.col("sb.doc_id")) & (F.col("sa.s") == F.col("sb.s")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        cand.join(inter, ["doc_a", "doc_b"], "left")
+        .na.fill({"n_inter": 0})
+        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_inter")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
+def duck_ngram_jaccard_sql() -> str:
+    return (
+        f"WITH cand AS ({duck_minhash_pairs_sql()}), "
+        f"sh AS (SELECT DISTINCT doc_id, unnest({_duck_shingles()}) AS s FROM documents), "
+        "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), "
+        "inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_inter "
+        "  FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a "
+        "  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.s = sa.s GROUP BY 1, 2) "
+        "SELECT c.doc_a, c.doc_b, "
+        "CAST(COALESCE(i.n_inter, 0) AS DOUBLE) / "
+        "CAST(za.n + zb.n - COALESCE(i.n_inter, 0) AS DOUBLE) AS jaccard "
+        "FROM cand c LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b "
+        "JOIN sizes za ON za.doc_id = c.doc_a JOIN sizes zb ON zb.doc_id = c.doc_b"
+    )
+
+
+# ------------------------------------------------------------- ANN cosine
+
+
+def ann_topk(docs_embeddings: DataFrame, query_vec: list, k: int = 20) -> DataFrame:
+    """Brute-force cosine top-k against a broadcast query vector —
+    the exact baseline; the LSH-bucketed scale path shares the same
+    scoring expression (see simhash blocking).  Scores rounded to 6
+    decimals for cross-engine float stability; deterministic vec_id
+    tie-break."""
+    from pyspark.sql import Window
+
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    qn = sum(float(v) * float(v) for v in query_vec) ** 0.5
+    dot = F.expr(
+        "aggregate(zip_with(emb, q, (a, b) -> a * b), 0D, (acc, v) -> acc + v)"
+    )
+    nrm = F.expr("sqrt(aggregate(transform(emb, a -> a * a), 0D, (acc, v) -> acc + v))")
+    d = (
+        docs_embeddings.select(
+            "vec_id",
+            F.expr("transform(embedding, v -> cast(v as double))").alias("emb"),
+        )
+        .withColumn("q", q)
+        .withColumn("cos", F.round(dot / (nrm * F.lit(qn)), 6))
+    )
+    w = Window.orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        d.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("vec_id", "rnk", "cos")
+    )
+
+
+def duck_ann_topk_sql(query_vec: list, k: int = 20) -> str:
+    qn = sum(float(v) * float(v) for v in query_vec) ** 0.5
+    qlit = "[" + ", ".join(repr(float(v)) for v in query_vec) + "]"
+    return (
+        "SELECT vec_id, rnk, cos FROM ("
+        "SELECT vec_id, round("
+        f"list_sum(list_transform(list_zip(embedding::DOUBLE[], {qlit}), "
+        "p -> p[1] * p[2])) / "
+        "(sqrt(list_sum(list_transform(embedding::DOUBLE[], v -> v * v))) "
+        f"* {qn!r}), 6) AS cos, "
+        "row_number() OVER (ORDER BY round("
+        f"list_sum(list_transform(list_zip(embedding::DOUBLE[], {qlit}), "
+        "p -> p[1] * p[2])) / "
+        "(sqrt(list_sum(list_transform(embedding::DOUBLE[], v -> v * v))) "
+        f"* {qn!r}), 6) DESC, vec_id ASC) AS rnk "
+        f"FROM embeddings) WHERE rnk <= {k}"
+    )
+
+
+# --------------------------------------------------------- text analysis
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "for", "on", "with"]
+
+
+def _spark_words() -> str:
+    return "filter(split(trim(text), '\\\\s+'), w -> length(w) > 0)"
+
+
+def with_text_features(docs: DataFrame) -> DataFrame:
+    """Quality metrics: token count, stopword count, punct count, mean
+    word length — integer counts (exact cross-engine)."""
+    words = _spark_words()
+    stop_set = ",".join(f"'{w}'" for w in STOPWORDS)
+    return (
+        docs.withColumn("n_tokens", F.expr(f"size({words})").cast("long"))
+        .withColumn(
+            "n_stop",
+            F.expr(
+                f"size(filter({words}, w -> array_contains(array({stop_set}), w)))"
+            ).cast("long"),
+        )
+        .withColumn(
+            "n_punct",
+            (
+                F.length("text")
+                - F.length(F.regexp_replace(F.col("text"), r"[^\w\s]", ""))
+            ).cast("long"),
+        )
+        .withColumn("n_chars", F.length("text").cast("long"))
+    )
+
+
+def duck_text_features_exprs() -> dict:
+    words = "list_filter(regexp_split_to_array(trim(text), '\\s+'), w -> length(w) > 0)"
+    stop_set = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return dict(
+        n_tokens=f"len({words})",
+        n_stop=f"len(list_filter({words}, w -> list_contains([{stop_set}], w)))",
+        n_punct=r"length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))",
+        n_chars="length(text)",
+    )
