@@ -38,7 +38,7 @@ def _sf_from_dir(d: str) -> float:
         return -1.0
 
 
-def run_vt_pyramid(spark):
+def run_vt_pyramid(spark, prefer_local=None):
     from geojson_vt_rs_spark.config import Options, TileOptions
     from geojson_vt_rs_spark.operators.pipeline import read_geojson_features
     from geojson_vt_rs_spark.plans.pyramid import SparkGeoJSONVT
@@ -49,6 +49,7 @@ def run_vt_pyramid(spark):
         feats,
         Options(max_zoom=14, index_max_zoom=7, index_max_points=200,
                 tile=TileOptions()),
+        prefer_local=prefer_local,
     )
     return idx.total
 
@@ -89,8 +90,12 @@ def _run_headline(spark, sf_dir):
     timings = {}
 
     t0 = time.time()
-    total = run_vt_pyramid(spark)
+    total = run_vt_pyramid(spark)  # adaptive: tiny input -> local kernel
     timings["vt_pyramid"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    run_vt_pyramid(spark, prefer_local=False)  # forced distributed loop
+    timings["vt_pyramid_dist"] = round(time.time() - t0, 3)
 
     t0 = time.time()
     g = run_graft_images(spark)

@@ -25,6 +25,11 @@ class Options:
     index_max_points: int = 100000  # max points/tile before splitting stops
     generate_id: bool = False  # replace feature ids with sequential ints
     tile: TileOptions = field(default_factory=TileOptions)
+    # engine knob (no reference counterpart): a tile whose num_points is
+    # at or below this renders its ENTIRE subtree inside one Spark task
+    # via the core tiler instead of another per-level round-trip; results
+    # are identical (same recursion), only the execution site changes
+    fuse_max_points: int = 100_000
 
     def __post_init__(self) -> None:
         if self.max_zoom > 24:

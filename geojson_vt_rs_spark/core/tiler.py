@@ -133,6 +133,30 @@ class GeoJSONVT:
         self.tiles[tid].source_features = []
 
     # ------------------------------------------------------------------
+    @classmethod
+    def subtree(
+        cls,
+        features: list,
+        options: Options,
+        rz: int,
+        rx: int,
+        ry: int,
+        cz: int = 0,
+        cx: int = 0,
+        cy: int = 0,
+    ) -> "GeoJSONVT":
+        """Run the split recursion over already-converted/wrapped/clipped
+        features rooted at (rz,rx,ry) — used by the Spark pyramid to fuse
+        a whole small subtree into one task."""
+        vt = cls.__new__(cls)
+        vt.options = options
+        vt.stats = {}
+        vt.total = 0
+        vt.tiles = {}
+        vt._split(features, rz, rx, ry, cz, cx, cy)
+        return vt
+
+    # ------------------------------------------------------------------
     def find_parent(self, z: int, x: int, y: int) -> Optional[InternalTile]:
         while z != 0:
             z -= 1

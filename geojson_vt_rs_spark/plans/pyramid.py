@@ -1,45 +1,100 @@
 """Distributed tile pyramid: the reference's recursive split_tile
 (/root/reference/src/lib.rs:251-434) re-expressed as a breadth-first
-per-zoom DataFrame loop.
+per-zoom DataFrame loop with a FUSED per-level kernel.
 
-Equivalence argument: the recursion's stop conditions are per-tile, so a
-breadth-first traversal visits exactly the same tile set and each tile
-sees exactly the same feature multiset (clipping is per-feature and the
-clip-band tree is identical).  What the recursion expresses as "retain
-source_features on leaves / clear on split parents" becomes a leaf-
-features store keyed by tile_id; drill-down (get_tile miss) re-enters the
-same loop from the nearest memoized ancestor's retained features
-(lib.rs:184-245), creating any empty tiles it walks through — these count
-in stats/total, observably (tests.rs:430 expects total == 37 *after* the
-z11 miss lookups).
+Equivalence: the recursion's stop conditions are per-tile, so a
+breadth-first traversal visits the same tile set and every tile sees the
+same feature multiset (clip bands are a function of (z,x,y) only).  The
+per-tile work — render (tile.rs:43-101), stop decision (lib.rs:305-338),
+and 4-way child clip (lib.rs:340-428) — is *group-local*, so one
+groupBy(z,x,y).applyInPandas per level does all three and tags each
+output row as tile-feature / stats / leaf-feature / child-feature.
+One shuffle per level, keyed by the same (z,x,y) as the tile-table
+partitioning; the driver sees only rendered-tile rows and stop metadata
+(index-sized), never the feature stream.
 
-Scale shape: the frontier is never collected — only the per-tile stats
-aggregate (one row per live tile) comes to the driver to evaluate the
-stop predicate; feature rows move executor-to-executor through the
-emit/groupBy shuffle, keyed identically to the tiles-table partitioning.
-The in-memory tile store below is for index-sized outputs (the rendered
-tiles, small by construction); sources/tile_sink.py offers the parquet
-variant for production pyramids.
+"Retain source_features on leaves / clear on split parents"
+(lib.rs:311,324,335,430-433) becomes the leaf-features store; drill-down
+(get_tile miss) re-enters the loop from the nearest memoized ancestor's
+retained features (lib.rs:184-245).  Tiles created empty along the way
+count in stats/total — observable in tests.rs:430 (total == 37 after the
+z11 miss lookups), and every split parent spawns all four children
+(split_tile is called unconditionally), so feature-less children are
+memoized as empty tiles by the driver from the parents' key list.
+
+At 100 TB: the frontier shrinks geometrically (features are partitioned
+into disjoint children); hot tiles (dense metros) are bounded by
+index_max_points splitting them further down; AQE coalesces the tail.
+The in-memory tile store is for index-sized outputs; sources/tile_sink
+holds the partitioned-parquet variant with checkpoint manifests.
 """
 
 from __future__ import annotations
 
+import json
 from typing import Dict, Optional
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from geojson_vt_rs_spark.config import Options
+from geojson_vt_rs_spark.core.clip import clip_feature
+from geojson_vt_rs_spark.core.tile import TileEmitter
 from geojson_vt_rs_spark.core.tiler import to_id
-from geojson_vt_rs_spark.operators.pipeline import (
-    TILED_COLS,
-    convert_stage,
-    emit_stage,
-    split_stage,
-    wrap_stage,
+from geojson_vt_rs_spark.operators.pipeline import convert_stage, wrap_stage
+from geojson_vt_rs_spark.operators.schema import (
+    FEATURE_FIELDS,
+    TILED_FEATURE_SCHEMA,
+    feature_to_row,
+    pdf_to_features,
 )
-from geojson_vt_rs_spark.operators.schema import TILED_FEATURE_SCHEMA
+
+TILED_COLS = [f.name for f in TILED_FEATURE_SCHEMA.fields]
+
+# row_kind values in the fused per-level output
+K_TILE = 0  # rendered tile feature row
+K_STATS = 1  # per-tile stats row (always present)
+K_LEAF = 2  # retained source feature of a stopped tile
+K_CHILD = 3  # feature clipped into a child tile
+
+STEP_SCHEMA = T.StructType(
+    [
+        T.StructField("row_kind", T.IntegerType(), False),
+        T.StructField("z", T.IntegerType(), False),
+        T.StructField("x", T.IntegerType(), False),
+        T.StructField("y", T.IntegerType(), False),
+        # rendered tile rows
+        T.StructField("feature_idx", T.IntegerType()),
+        T.StructField("type", T.IntegerType()),
+        T.StructField("kind", T.IntegerType()),
+        T.StructField("geometry_json", T.StringType()),
+        T.StructField("tags_json", T.StringType()),
+        T.StructField("tile_id_str", T.StringType()),
+        T.StructField("tile_id_num", T.LongType()),
+        T.StructField("tile_num_points", T.IntegerType()),
+        T.StructField("tile_num_simplified", T.IntegerType()),
+        T.StructField("action", T.StringType()),  # on stats rows
+    ]
+    + FEATURE_FIELDS
+)
+
+STEP_COLS = [f.name for f in STEP_SCHEMA.fields]
+_FEATURE_NULLS = {f.name: None for f in FEATURE_FIELDS}
+_TILE_NULLS = dict(
+    feature_idx=None,
+    type=None,
+    kind=None,
+    geometry_json=None,
+    tags_json=None,
+    tile_id_str=None,
+    tile_id_num=None,
+    tile_num_points=None,
+    tile_num_simplified=None,
+    action=None,
+)
 
 
 class SparkTile:
@@ -57,6 +112,142 @@ class SparkTile:
 EMPTY_TILE = SparkTile(0, 0, 0, [], 0, 0)
 
 
+def _level_kernel(options: Options, cz: int, cx: int, cy: int):
+    """Group kernel: render + decide + (retain | split) one tile."""
+    o = options
+    extent = o.tile.extent
+    tol = o.tile.tolerance
+    lm = o.tile.line_metrics
+    max_zoom = o.max_zoom
+    imz = o.index_max_zoom
+    imp = o.index_max_points
+
+    # Fusion threshold: a split tile's subtree work scales with how far
+    # below index_max_points its children must shrink — with a small (or
+    # zero) index_max_points every descendant keeps splitting, so fusing
+    # a big tile would serialize a wide subtree into one task.  Bound the
+    # fused work by 4*index_max_points for first-pass tiling; drill-down
+    # descends a single path, so the full budget applies.
+    fuse_first = min(getattr(o, "fuse_max_points", 0), 4 * o.index_max_points)
+    fuse_drill = getattr(o, "fuse_max_points", 0)
+
+    def _emitter_rows(rows, em, z, x, y, action):
+        def tile_row(row_kind, **kw):
+            r = dict(_TILE_NULLS)
+            r.update(_FEATURE_NULLS)
+            r.update(row_kind=row_kind, z=z, x=x, y=y, **kw)
+            return r
+
+        for idx, tf in enumerate(em.features):
+            rows.append(
+                tile_row(
+                    K_TILE,
+                    feature_idx=idx,
+                    type=tf["type"],
+                    kind=tf["kind"],
+                    geometry_json=json.dumps(tf["geometry"], separators=(",", ":")),
+                    tags_json=(
+                        None
+                        if tf["tags"] is None
+                        else json.dumps(tf["tags"], separators=(",", ":"))
+                    ),
+                    tile_id_str=tf["id_str"],
+                    tile_id_num=tf["id_num"],
+                )
+            )
+        rows.append(
+            tile_row(
+                K_STATS,
+                feature_idx=-1,
+                tile_num_points=em.num_points,
+                tile_num_simplified=em.num_simplified,
+                action=action,
+            )
+        )
+
+    def _leaf_rows(rows, feats, z, x, y):
+        for f in feats:
+            r = dict(_TILE_NULLS)
+            r.update(feature_to_row(f))
+            r.update(row_kind=K_LEAF, z=z, x=x, y=y)
+            rows.append(r)
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        from geojson_vt_rs_spark.core.tiler import GeoJSONVT as CoreTiler
+
+        z, x, y = int(key[0]), int(key[1]), int(key[2])
+        tolerance = 0.0 if z == max_zoom else tol / (float(1 << z) * extent)
+        em = TileEmitter(z, x, y, extent, tolerance, lm)
+        ordered = pdf.sort_values(
+            ["world_copy", "feature_seq", "slice_path"], kind="stable"
+        )
+        feats = list(pdf_to_features(ordered[TILED_COLS[3:]]))
+        for f in feats:
+            em.add_feature(f)
+
+        rows: list = []
+
+        # decide (lib.rs:305-338)
+        if cz == 0:
+            action = "leaf" if (z == imz or em.num_points <= imp) else "split"
+        elif z == max_zoom:
+            action = "stop"
+        elif z == cz:
+            action = "leaf"
+        else:
+            m = 1 << (cz - z)
+            action = "split" if (x == cx // m and y == cy // m) else "leaf"
+
+        fuse_max = fuse_first if cz == 0 else fuse_drill
+        if action == "split" and em.num_points <= fuse_max:
+            # adaptive subtree fusion: this tile's whole recursion fits in
+            # one task — run the core tiler here; identical results, no
+            # further driver round-trips for this subtree
+            sub = CoreTiler.subtree(feats, o, z, x, y, cz, cx, cy)
+            for it in sub.tiles.values():
+                sem = it.emitter
+                sub_action = "leaf" if it.source_features else "stop"
+                _emitter_rows(rows, sem, sem.z, sem.x, sem.y, sub_action)
+                if it.source_features:
+                    _leaf_rows(rows, it.source_features, sem.z, sem.x, sem.y)
+            return pd.DataFrame(rows, columns=STEP_COLS)
+
+        _emitter_rows(rows, em, z, x, y, action)
+
+        if action == "leaf":
+            _leaf_rows(rows, feats, z, x, y)
+        elif action == "split":
+            z2 = float(1 << z)
+            p = 0.5 * o.tile.buffer / extent
+            for f in feats:
+                left = clip_feature(f, 0, (x - p) / z2, (x + 0.5 + p) / z2, lm)
+                right = clip_feature(
+                    f, 0, (x + 0.5 - p) / z2, (x + 1.0 + p) / z2, lm
+                )
+                for dx, half in ((0, left), (1, right)):
+                    for lf in half:
+                        top = clip_feature(
+                            lf, 1, (y - p) / z2, (y + 0.5 + p) / z2, lm
+                        )
+                        bot = clip_feature(
+                            lf, 1, (y + 0.5 - p) / z2, (y + 1.0 + p) / z2, lm
+                        )
+                        for dy, quarter in ((0, top), (1, bot)):
+                            for qf in quarter:
+                                r = dict(_TILE_NULLS)
+                                r.update(feature_to_row(qf))
+                                r.update(
+                                    row_kind=K_CHILD,
+                                    z=z + 1,
+                                    x=x * 2 + dx,
+                                    y=y * 2 + dy,
+                                )
+                                rows.append(r)
+        return pd.DataFrame(rows, columns=STEP_COLS)
+
+    return run
+
+
 class SparkGeoJSONVT:
     """Tile index built by Spark jobs; memoized tiles + leaf features.
 
@@ -64,11 +255,17 @@ class SparkGeoJSONVT:
     (FEATURE_SCHEMA, see operators.pipeline.read_geojson_features).
     """
 
+    # inputs below this many raw points run the core tiler on the driver
+    # outright (adaptive local execution — the distributed loop's fixed
+    # per-level cost only pays off on big frontiers); results identical
+    LOCAL_THRESHOLD_POINTS = 1_000_000
+
     def __init__(
         self,
         spark: SparkSession,
         features_df: DataFrame,
         options: Optional[Options] = None,
+        prefer_local: Optional[bool] = None,
     ):
         self.spark = spark
         self.options = options or Options()
@@ -77,6 +274,14 @@ class SparkGeoJSONVT:
         self.leaf_features: Dict[int, pd.DataFrame] = {}
         self.stats: Dict[int, int] = {}
         self.total = 0
+        self._local = None
+
+        if prefer_local is None:
+            npts = features_df.agg(F.sum("num_points")).collect()[0][0] or 0
+            prefer_local = npts <= self.LOCAL_THRESHOLD_POINTS
+        if prefer_local:
+            self._init_local(features_df)
+            return
 
         z2 = 1 << o.max_zoom
         converted = convert_stage(
@@ -91,6 +296,27 @@ class SparkGeoJSONVT:
         self._run(frontier, 0, 0, 0, 0, 0, 0)
 
     # ------------------------------------------------------------------
+    def _init_local(self, features_df: DataFrame) -> None:
+        """Adaptive local execution: collect the (small) input and run the
+        core tiler on the driver; the public surface stays identical."""
+        from geojson_vt_rs_spark.core.tiler import GeoJSONVT as CoreTiler
+
+        feats = list(pdf_to_features(features_df.toPandas()))
+        feats.sort(key=lambda f: f.feature_seq)
+        self._local = CoreTiler(feats, self.options)
+        self._sync_local()
+
+    def _sync_local(self) -> None:
+        lt = self._local
+        self.stats = dict(lt.stats)
+        self.total = lt.total
+        for tid, it in lt.tiles.items():
+            em = it.emitter
+            self.tiles[tid] = SparkTile(
+                em.z, em.x, em.y, em.features, em.num_points, em.num_simplified
+            )
+
+    # ------------------------------------------------------------------
     def _register(self, z: int, x: int, y: int, features, np_: int, ns: int):
         tid = to_id(z, x, y)
         if tid in self.tiles:
@@ -99,84 +325,69 @@ class SparkGeoJSONVT:
         self.stats[z] = self.stats.get(z, 0) + 1
         self.total += 1
 
-    def _decide(self, z, x, y, num_points, cz, cx, cy):
-        """-> 'leaf' (stop+retain) | 'stop' (no retain) | 'split'
-        (lib.rs:305-338)."""
-        o = self.options
-        if cz == 0:
-            if z == o.index_max_zoom or num_points <= o.index_max_points:
-                return "leaf"
-            return "split"
-        if z == o.max_zoom:
-            return "stop"
-        if z == cz:
-            return "leaf"
-        m = 1 << (cz - z)
-        if x != cx // m or y != cy // m:
-            return "leaf"
-        return "split"
-
     def _run(self, frontier: DataFrame, rz, rx, ry, cz, cx, cy):
         o = self.options
+        kernel = _level_kernel(o, cz, cx, cy)
         first = True
+        pending_children: list = []  # expected child keys of split parents
+        prev = None
         while True:
-            frontier = frontier.persist()
-            # render every live tile; stats row (feature_idx=-1) ensures
-            # feature-less tiles still appear
-            tile_pdf = emit_stage(frontier, o).toPandas()
-            if tile_pdf.empty:
-                if first:
-                    # split_tile(empty, root) still creates the root tile
-                    # (lib.rs:265-295 insert happens before the early return)
-                    self._register(rz, rx, ry, [], 0, 0)
-                frontier.unpersist()
-                return
-            first = False
+            fused = (
+                frontier.groupBy("z", "x", "y")
+                .applyInPandas(kernel, schema=STEP_SCHEMA)
+                .persist()
+            )
+            meta = fused.filter(F.col("row_kind").isin(K_TILE, K_STATS, K_LEAF)).toPandas()
+            if prev is not None:
+                prev.unpersist()
 
-            split_keys = []
-            leaf_keys = []
+            tile_pdf = meta[meta.row_kind.isin([K_TILE, K_STATS])]
+            observed = set()
+            split_parents = []
             for (z, x, y), grp in tile_pdf.groupby(["z", "x", "y"], sort=False):
                 z, x, y = int(z), int(x), int(y)
-                np_ = int(grp["num_points"].iloc[0])
-                ns = int(grp["num_simplified"].iloc[0])
-                feats = _rows_to_tile_features(grp)
-                self._register(z, x, y, feats, np_, ns)
-                action = self._decide(z, x, y, np_, cz, cx, cy)
-                if action == "split":
-                    split_keys.append((z, x, y))
-                elif action == "leaf":
-                    leaf_keys.append((z, x, y))
+                observed.add((z, x, y))
+                stats_row = grp[grp.row_kind == K_STATS].iloc[0]
+                feats = _rows_to_tile_features(grp[grp.row_kind == K_TILE])
+                self._register(
+                    z, x, y, feats,
+                    int(stats_row["tile_num_points"]),
+                    int(stats_row["tile_num_simplified"]),
+                )
+                if stats_row["action"] == "split":
+                    split_parents.append((z, x, y))
+                    self.leaf_features.pop(to_id(z, x, y), None)  # lib.rs:430-433
 
-            if leaf_keys:
-                kdf = self.spark.createDataFrame(leaf_keys, "z int, x int, y int")
-                leaf_pdf = frontier.join(F.broadcast(kdf), ["z", "x", "y"]).toPandas()
-                for key, grp in leaf_pdf.groupby(["z", "x", "y"], sort=False):
-                    tid = to_id(int(key[0]), int(key[1]), int(key[2]))
-                    self.leaf_features[tid] = grp
+            # children of the PREVIOUS level's split parents that received
+            # no features -> empty memoized tiles (lib.rs:344-428)
+            for ck in pending_children:
+                if ck not in observed:
+                    self._register(ck[0], ck[1], ck[2], [], 0, 0)
 
-            if not split_keys:
-                frontier.unpersist()
+            leaf_pdf = meta[meta.row_kind == K_LEAF]
+            for (z, x, y), grp in leaf_pdf.groupby(["z", "x", "y"], sort=False):
+                self.leaf_features[to_id(int(z), int(x), int(y))] = grp[
+                    TILED_COLS
+                ].reset_index(drop=True)
+
+            if tile_pdf.empty and first:
+                # split_tile(empty, root) still creates the root tile
+                # (lib.rs:265-295: insert precedes the early return)
+                self._register(rz, rx, ry, [], 0, 0)
+            first = False
+
+            if not split_parents:
+                fused.unpersist()
                 return
 
-            sdf = self.spark.createDataFrame(split_keys, "z int, x int, y int")
-            survivors = frontier.join(F.broadcast(sdf), ["z", "x", "y"])
-            children = split_stage(survivors, o).persist()
-            child_keys = {
-                (int(r["z"]), int(r["x"]), int(r["y"]))
-                for r in children.select("z", "x", "y").distinct().collect()
-            }
-            # every split parent spawns all 4 children in the reference
-            # (lib.rs:344-428 calls split_tile unconditionally); children
-            # that received no features become empty memoized tiles
-            for z, x, y in split_keys:
-                self.leaf_features.pop(to_id(z, x, y), None)  # lib.rs:430-433
-                for dx in (0, 1):
-                    for dy in (0, 1):
-                        ck = (z + 1, 2 * x + dx, 2 * y + dy)
-                        if ck not in child_keys:
-                            self._register(ck[0], ck[1], ck[2], [], 0, 0)
-            frontier.unpersist()
-            frontier = children
+            pending_children = [
+                (z + 1, 2 * x + dx, 2 * y + dy)
+                for z, x, y in split_parents
+                for dx in (0, 1)
+                for dy in (0, 1)
+            ]
+            frontier = fused.filter(F.col("row_kind") == K_CHILD).select(*TILED_COLS)
+            prev = fused
 
     # ------------------------------------------------------------------
     def find_parent(self, z, x, y):
@@ -196,6 +407,12 @@ class SparkGeoJSONVT:
         z2 = 1 << z
         x = ((x_ % z2) + z2) % z2
         tid = to_id(z, x, y)
+        if self._local is not None:
+            em = self._local.get_tile(z, x, y)
+            self._sync_local()
+            if tid in self.tiles:
+                return self.tiles[tid]
+            return EMPTY_TILE
         if tid in self.tiles:
             return self.tiles[tid]
         parent = self.find_parent(z, x, y)
@@ -204,11 +421,12 @@ class SparkGeoJSONVT:
         pz, px, py = parent
         leaf = self.leaf_features.get(to_id(pz, px, py))
         if leaf is None or leaf.empty:
-            frontier = self.spark.createDataFrame([], TILED_FEATURE_SCHEMA)
-        else:
-            frontier = self.spark.createDataFrame(
-                leaf[TILED_COLS], TILED_FEATURE_SCHEMA
-            )
+            # reference: split_tile(parent, empty) creates nothing new;
+            # no Spark job needed
+            if self.find_parent(z, x, y) is None:
+                raise LookupError("Parent tile not found")
+            return EMPTY_TILE
+        frontier = self.spark.createDataFrame(leaf[TILED_COLS], TILED_FEATURE_SCHEMA)
         self._run(frontier, pz, px, py, z, x, y)
         if tid in self.tiles:
             return self.tiles[tid]
@@ -221,10 +439,8 @@ class SparkGeoJSONVT:
 
 
 def _rows_to_tile_features(grp: pd.DataFrame) -> list:
-    import json
-
     feats = []
-    sub = grp[grp["feature_idx"] >= 0].sort_values("feature_idx")
+    sub = grp.sort_values("feature_idx")
     for r in sub.itertuples(index=False):
         feats.append(
             dict(
@@ -232,8 +448,8 @@ def _rows_to_tile_features(grp: pd.DataFrame) -> list:
                 kind=int(r.kind),
                 geometry=json.loads(r.geometry_json),
                 tags=None if r.tags_json is None else json.loads(r.tags_json),
-                id_str=r.id_str if isinstance(r.id_str, str) else None,
-                id_num=int(r.id_num) if pd.notna(r.id_num) else None,
+                id_str=r.tile_id_str if isinstance(r.tile_id_str, str) else None,
+                id_num=int(r.tile_id_num) if pd.notna(r.tile_id_num) else None,
             )
         )
     return feats

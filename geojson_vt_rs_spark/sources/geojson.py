@@ -84,7 +84,7 @@ def feature_from_geojson(feat: dict, feature_seq: int) -> VtFeature:
         geom["type"] != "GeometryCollection"
     ):
         gt, parts, groups = subs[0]
-        return make_feature(
+        f = make_feature(
             gt,
             parts,
             ring_group_sizes=groups,
@@ -93,6 +93,8 @@ def feature_from_geojson(feat: dict, feature_seq: int) -> VtFeature:
             id_num=id_num,
             feature_seq=feature_seq,
         )
+        f.num_points = len(f.xs)  # raw point count (drives size-based planning)
+        return f
     # GeometryCollection (possibly flattened from nesting)
     all_parts, kinds, counts, ring_sizes = [], [], [], []
     for gt, parts, groups in subs:
@@ -101,7 +103,7 @@ def feature_from_geojson(feat: dict, feature_seq: int) -> VtFeature:
         all_parts.extend(parts)
         if groups:
             ring_sizes.extend(groups)
-    return make_feature(
+    f = make_feature(
         GEOM_GEOMETRYCOLLECTION,
         all_parts,
         ring_group_sizes=ring_sizes if ring_sizes else None,
@@ -112,6 +114,8 @@ def feature_from_geojson(feat: dict, feature_seq: int) -> VtFeature:
         id_num=id_num,
         feature_seq=feature_seq,
     )
+    f.num_points = len(f.xs)
+    return f
 
 
 def load_geojson(text_or_obj) -> List[VtFeature]:

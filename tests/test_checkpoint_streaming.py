@@ -1,0 +1,95 @@
+"""Checkpointed pyramid / mosaic resumability + streaming ingest tests."""
+
+import glob
+import json
+import os
+import shutil
+
+import pytest
+
+from geojson_vt_rs_spark.config import Options
+from geojson_vt_rs_spark.operators.pipeline import read_geojson_features
+from geojson_vt_rs_spark.plans.checkpoint import (
+    CheckpointedPyramid,
+    checkpointed_mosaic,
+    _read_manifest,
+)
+
+
+def test_checkpointed_pyramid_and_resume(spark, tmp_path):
+    out = str(tmp_path / "pyr")
+    feats = read_geojson_features(spark, "/root/reference/fixtures/us-states.json")
+    cp = CheckpointedPyramid(
+        spark, Options(max_zoom=14, index_max_zoom=3, index_max_points=200)
+    )
+    s1 = cp.run(feats, out)
+    assert s1["levels"] >= 2
+    assert s1["total_tiles"] > 0
+    for m in s1["manifests"]:
+        assert m["n_tiles"] > 0
+        assert "wall_sec" in m
+
+    # simulate a crash after level 0: drop manifests for levels >= 1
+    for p in sorted(glob.glob(os.path.join(out, "_manifests", "level_*.json")))[1:]:
+        os.remove(p)
+    # wipe tile parquet rows written after level 0 is NOT needed for the
+    # resume logic test: resume re-appends; use a fresh dir to verify a
+    # full re-run equals the summary instead
+    s2 = cp.run(feats, out)
+    assert s2["levels"] == s1["levels"]
+
+    # the tiles table supports partition-pruned point lookups
+    tile = cp.read_tile(out, 1, 0, 0).toPandas()
+    assert len(tile) >= 0
+
+    # fully-completed run resumes as a no-op
+    s3 = cp.run(feats, out)
+    assert s3["levels"] == s2["levels"]
+
+
+def test_checkpointed_mosaic_resume(spark, tmp_path):
+    from geojson_vt_rs_spark.plans.spatial import with_cells, with_footprints
+    from geojson_vt_rs_spark.sources.images import generate_images
+
+    out = str(tmp_path / "mosaic")
+    imgs = with_cells(with_footprints(generate_images(spark, 400, 4)), 5).persist()
+    s1 = checkpointed_mosaic(imgs, 5, out, n_buckets=4)
+    assert s1["buckets"] == 4
+    assert s1["n_images"] > 0
+
+    # resume skips completed buckets (manifests untouched)
+    before = [_read_manifest(out, f"mosaic_bucket_{b}") for b in range(4)]
+    s2 = checkpointed_mosaic(imgs, 5, out, n_buckets=4)
+    after = [_read_manifest(out, f"mosaic_bucket_{b}") for b in range(4)]
+    assert before == after
+    assert s2["n_tiles"] == s1["n_tiles"]
+
+    # partial resume: remove one bucket's manifest -> only it recomputes
+    os.remove(os.path.join(out, "_manifests", "mosaic_bucket_2.json"))
+    s3 = checkpointed_mosaic(imgs, 5, out, n_buckets=4)
+    assert s3["n_tiles"] == s1["n_tiles"]
+    imgs.unpersist()
+
+
+def test_streaming_cell_counts(spark, tmp_path):
+    from geojson_vt_rs_spark.plans.spatial import with_cells, with_footprints
+    from geojson_vt_rs_spark.sources.images import generate_images
+    from geojson_vt_rs_spark.streaming.ingest import stream_cell_counts
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    imgs = generate_images(spark, 300, 4)
+    imgs.write.parquet(src)
+
+    stream_cell_counts(spark, src, out, ckpt, zoom=5)
+
+    got = spark.read.parquet(out)
+    batch = (
+        with_cells(with_footprints(spark.read.parquet(src)), 5)
+        .groupBy("cx", "cy")
+        .count()
+    )
+    got_total = got.agg({"n": "sum"}).collect()[0][0]
+    assert got_total == 300
+    assert got.select("cx", "cy").distinct().count() == batch.count()

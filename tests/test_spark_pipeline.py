@@ -47,7 +47,7 @@ def test_one_shot_flagship(spark):
 
 def test_spark_index_us_states(spark):
     feats = read_geojson_features(spark, fixture_path("us-states.json"))
-    index = SparkGeoJSONVT(spark, feats, Options())
+    index = SparkGeoJSONVT(spark, feats, Options(), prefer_local=False)
 
     t = index.get_tile(7, 37, 48)
     assert spark_tile_canonical(t) == _expected_tile("us-states-z7-37-48.json")
@@ -79,6 +79,7 @@ def test_spark_tile_corpus(spark, inp, exp, imz, imp, lm):
             index_max_points=imp,
             tile=TileOptions(line_metrics=lm),
         ),
+        prefer_local=False,
     )
     expected = parse_jsontiles(fixture_path(exp))
     actual = {}
