@@ -29,6 +29,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_IMAGES = int(os.environ.get("SPARK_GRAFT_IMAGES", "20000"))
+# the scaling-efficiency job needs enough work per core to amortize fixed
+# per-stage costs; 100k rows ~= 100 core-seconds of raster work
+N_SCALING = int(os.environ.get("SPARK_GRAFT_SCALING_N", "100000"))
 
 
 def _sf_from_dir(d: str) -> float:
@@ -54,9 +57,22 @@ def run_vt_pyramid(spark, prefer_local=None):
     return idx.total
 
 
-def run_graft_images(spark, n=N_IMAGES):
+def _build_polys(spark, zoom=5):
+    from geojson_vt_rs_spark.plans.spatial import build_tile_polygons
+
+    polys, index = build_tile_polygons(
+        spark, "/root/reference/fixtures/us-states.json", zoom
+    )
+    centers = spark.createDataFrame(
+        [(t.x, t.y) for t in index.get_internal_tiles().values()
+         if t.z == zoom and t.features],
+        "x long, y long",
+    )
+    return polys, centers
+
+
+def run_graft_images(spark, n=N_IMAGES, polys=None, centers=None, cpus=None):
     from geojson_vt_rs_spark.plans.spatial import (
-        build_tile_polygons,
         knn_neighbor_tiles,
         mosaic_tiles,
         pip_join,
@@ -66,17 +82,12 @@ def run_graft_images(spark, n=N_IMAGES):
     from geojson_vt_rs_spark.sources.images import generate_images
 
     zoom = 5
-    imgs = with_cells(with_footprints(generate_images(spark, n, CPUS * 2)), zoom)
+    if polys is None:
+        polys, centers = _build_polys(spark, zoom)
+    parts = (cpus or CPUS) * 2
+    imgs = with_cells(with_footprints(generate_images(spark, n, parts)), zoom)
     imgs = imgs.persist()
-    polys, index = build_tile_polygons(
-        spark, "/root/reference/fixtures/us-states.json", zoom
-    )
     n_pip = pip_join(imgs, polys, zoom).count()
-    centers = spark.createDataFrame(
-        [(t.x, t.y) for t in index.get_internal_tiles().values()
-         if t.z == zoom and t.features],
-        "x long, y long",
-    )
     n_knn = knn_neighbor_tiles(imgs, centers, zoom, k=3).count()
     tiles = mosaic_tiles(imgs, zoom)
     n_tiles = tiles.count()
@@ -109,11 +120,21 @@ def _run_headline(spark, sf_dir):
     return timings, total, g
 
 
-def _throughput_job(spark):
+def _throughput_job(spark, cpus):
     """Fixed-size job for the two-parallelism scaling measurement: the
-    image pipeline (cells + PIP + kNN + mosaic) over N_IMAGES rows."""
+    image pipeline (generate -> cells -> PIP -> kNN -> mosaic) over
+    N_IMAGES rows.  The tile-polygon dimension build and Python-worker
+    warmup are setup, excluded from the timed window."""
+    polys, centers = _build_polys(spark)
+    polys = polys.persist()
+    polys.count()
+    centers = centers.persist()
+    centers.count()
+    run_graft_images(spark, n=256, polys=polys, centers=centers, cpus=cpus)  # warmup
     t0 = time.time()
-    g = run_graft_images(spark)
+    g = run_graft_images(
+        spark, n=N_SCALING, polys=polys, centers=centers, cpus=cpus
+    )
     dt = time.time() - t0
     return g["rows"] / dt, dt
 
@@ -138,7 +159,7 @@ def main():
         scal = {}
         for c in (8, 32):
             s = get_spark(app_name=f"bench-scaling-{c}", cpus=c)
-            rps, dt = _throughput_job(s)
+            rps, dt = _throughput_job(s, c)
             scal[f"local{c}_rows_per_sec"] = round(rps, 1)
             scal[f"local{c}_sec"] = round(dt, 3)
             s.stop()
