@@ -30,8 +30,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_IMAGES = int(os.environ.get("SPARK_GRAFT_IMAGES", "20000"))
 # the scaling-efficiency job needs enough work per core to amortize fixed
-# per-stage costs; 100k rows ~= 100 core-seconds of raster work
-N_SCALING = int(os.environ.get("SPARK_GRAFT_SCALING_N", "100000"))
+# per-stage costs; 300k rows ~= 300 core-seconds of raster work
+N_SCALING = int(os.environ.get("SPARK_GRAFT_SCALING_N", "300000"))
 
 
 def _sf_from_dir(d: str) -> float:

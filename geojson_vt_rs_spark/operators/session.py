@@ -31,6 +31,14 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # our shuffled rows are byte-light but CPU-heavy (pandas kernels:
+        # clip, raster decode/render); the 64MB advisory size would
+        # coalesce them onto a handful of cores — keep partitions fine-
+        # grained so AQE still merges empties without serializing compute
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k"
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         .config("spark.ui.enabled", "false")

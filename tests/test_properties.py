@@ -1,0 +1,119 @@
+"""Property-based invariants (hypothesis) for the geometry kernels —
+beyond the reference's literal tests: clip band containment, ring
+closure, simplify endpoint pinning + subsequence preservation,
+projection round-trip, ray-cast vs analytic rectangles."""
+
+import math
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from geojson_vt_rs_spark.core.clip import clip_line_part, clip_ring_part
+from geojson_vt_rs_spark.core.project import project_points
+from geojson_vt_rs_spark.core.simplify import simplify
+from geojson_vt_rs_spark.core.tiler import to_id
+from geojson_vt_rs_spark.plans.spatial import ray_cast_inside
+
+coords = st.lists(
+    st.tuples(
+        st.floats(-100, 100, allow_nan=False, width=32),
+        st.floats(-100, 100, allow_nan=False, width=32),
+    ),
+    min_size=2,
+    max_size=40,
+)
+
+
+@given(coords, st.floats(-50, 0), st.floats(1, 50))
+@settings(max_examples=200, deadline=None)
+def test_clip_line_band_containment(pts, k1, dk):
+    k2 = k1 + dk
+    xs = np.array([p[0] for p in pts])
+    ys = np.array([p[1] for p in pts])
+    zs = np.zeros(len(xs))
+    for sx, sy, sz, _, _ in clip_line_part(xs, ys, zs, 0, k1, k2, False, 0.0):
+        assert len(sx) >= 1
+        # every kept ORIGINAL point lies in the closed band; interpolated
+        # crossings sit exactly on a boundary (z == 1.0 marks them)
+        orig = sz != 1.0
+        assert (sx[orig] >= k1).all() and (sx[orig] <= k2).all()
+        crossings = sx[sz == 1.0]
+        for c in crossings:
+            assert c == k1 or c == k2 or (k1 <= c <= k2)
+
+
+@given(coords, st.floats(-50, 0), st.floats(1, 50))
+@settings(max_examples=200, deadline=None)
+def test_clip_ring_closure(pts, k1, dk):
+    k2 = k1 + dk
+    pts = pts + [pts[0]]
+    xs = np.array([p[0] for p in pts])
+    ys = np.array([p[1] for p in pts])
+    zs = np.zeros(len(xs))
+    rx, ry, rz = clip_ring_part(xs, ys, zs, 0, k1, k2)
+    if len(rx) > 1:
+        assert rx[0] == rx[-1] and ry[0] == ry[-1] and rz[0] == rz[-1]
+
+
+@given(coords, st.floats(0.0001, 1.0))
+@settings(max_examples=200, deadline=None)
+def test_simplify_invariants(pts, tol):
+    xs = np.array([p[0] for p in pts])
+    ys = np.array([p[1] for p in pts])
+    zs = np.zeros(len(xs))
+    simplify(xs, ys, zs, tol)
+    assert zs[0] == 1.0 and zs[-1] == 1.0
+    interior = zs[1:-1]
+    # annotated scores are either untouched (0) or exceed tolerance^2
+    assert ((interior == 0.0) | (interior > tol * tol)).all()
+
+
+@given(
+    st.floats(-179.9, 179.9, allow_nan=False),
+    st.floats(-85.0, 85.0, allow_nan=False),
+)
+@settings(max_examples=300, deadline=None)
+def test_projection_roundtrip(lon, lat):
+    x, y = project_points(np.array([lon]), np.array([lat]))
+    back_lon = (x[0] - 0.5) * 360.0
+    y2 = 180.0 - y[0] * 360.0
+    back_lat = 360.0 / math.pi * math.atan(math.exp(y2 * math.pi / 180.0)) - 90.0
+    assert abs(back_lon - lon) < 1e-9
+    assert abs(back_lat - lat) < 1e-6
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 14), st.integers(0, 2**14 - 1), st.integers(0, 2**14 - 1)
+        ),
+        min_size=1,
+        max_size=50,
+        unique=True,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_to_id_injective(keys):
+    valid = [(z, x, y) for z, x, y in keys if x < (1 << z) and y < (1 << z)]
+    ids = [to_id(z, x, y) for z, x, y in valid]
+    assert len(set(ids)) == len(valid)
+
+
+@given(
+    st.floats(-10, 10), st.floats(-10, 10),
+    st.floats(0.1, 20), st.floats(0.1, 20),
+    st.lists(st.tuples(st.floats(-15, 35), st.floats(-15, 35)), min_size=1, max_size=60),
+)
+@settings(max_examples=200, deadline=None)
+def test_raycast_matches_rectangle(x0, y0, w, h, pts):
+    ring = [[x0, y0], [x0 + w, y0], [x0 + w, y0 + h], [x0, y0 + h], [x0, y0]]
+    px = np.array([p[0] for p in pts])
+    py = np.array([p[1] for p in pts])
+    got = ray_cast_inside(px, py, [ring])
+    # avoid boundary ambiguity: only check points strictly inside/outside
+    eps = 1e-9
+    strict_in = (px > x0 + eps) & (px < x0 + w - eps) & (py > y0 + eps) & (py < y0 + h - eps)
+    strict_out = (px < x0 - eps) | (px > x0 + w + eps) | (py < y0 - eps) | (py > y0 + h + eps)
+    assert (got[strict_in]).all()
+    assert (~got[strict_out]).all()
