@@ -444,6 +444,113 @@ def q_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact all-pairs at oracle
+    scale; the LSH/blocked variant is the scale path): round-6 cosine,
+    threshold 0.62, deterministic pair order."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.expr("transform(embedding, v -> cast(v as double))").alias("emb"),
+    )
+    nrm = F.expr(
+        "sqrt(aggregate(transform(emb, a -> a * a), 0D, (acc, v) -> acc + v))"
+    )
+    d = emb.withColumn("nrm", nrm)
+    a, b = d.alias("a"), d.alias("b")
+    dot = F.expr(
+        "aggregate(zip_with(a.emb, b.emb, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+    )
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .withColumn("cos", F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 6))
+        .filter(F.col("cos") >= 0.62)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            "cos",
+        )
+    )
+
+
+SQL_COSINE_NEAR_DUP = (
+    "WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS emb, "
+    "sqrt(list_sum(list_transform(embedding::DOUBLE[], v -> v * v))) AS nrm "
+    "FROM embeddings) "
+    "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
+    "round(list_sum(list_transform(list_zip(a.emb, b.emb), p -> p[1] * p[2])) "
+    "/ (a.nrm * b.nrm), 6) AS cos "
+    "FROM d a JOIN d b ON a.vec_id < b.vec_id "
+    "WHERE round(list_sum(list_transform(list_zip(a.emb, b.emb), p -> p[1] * p[2])) "
+    "/ (a.nrm * b.nrm), 6) >= 0.62"
+)
+
+
+def q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows (the batch shape of the
+    streaming windowed agg in streaming/ingest.py)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("win_start"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            # per-row fixed-point conversion keeps the sum an integer ->
+            # order-independent, exact across engines; explicit floor()
+            # because bare double->int casts truncate in Spark but round
+            # in DuckDB
+            F.sum(F.floor(F.col("value") * 1000).cast("long")).alias(
+                "sum_value_milli"
+            ),
+        )
+    )
+
+
+SQL_EVENT_WINDOWS = (
+    "SELECT date_trunc('hour', ts) AS win_start, event_type, "
+    "count(*) AS n, CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) "
+    "AS sum_value_milli FROM events GROUP BY 1, 2"
+)
+
+
+def q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode path: deterministic synthetic image table ->
+    decode (PNG/raw) -> per-format pixel stats via mapInPandas.  Not
+    SQL-expressible (binary decode) -> driver records rows-only."""
+    import pandas as pd
+
+    from geojson_vt_rs_spark.sources.images import decode_image, generate_images
+
+    imgs = generate_images(spark, 512, 8)
+
+    def stats(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                rgb = decode_image(r.bytes, int(r.w), int(r.h), r.fmt)
+                rows.append(
+                    dict(
+                        fmt=r.fmt,
+                        n=1,
+                        mean_lum=float(rgb.astype(np.float64).mean()),
+                        px=int(rgb.shape[0] * rgb.shape[1]),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["fmt", "n", "mean_lum", "px"])
+
+    d = imgs.mapInPandas(
+        stats, schema="fmt string, n long, mean_lum double, px long"
+    )
+    return d.groupBy("fmt").agg(
+        F.sum("n").alias("n_images"),
+        F.sum("px").alias("total_px"),
+        F.round(F.avg("mean_lum"), 3).alias("avg_lum"),
+    )
+
+
 # ---------------------------------------------- end-to-end engine (no SQL)
 def q_vt_total_us_states(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replays the reference's get_tile_us_states scenario (tests.rs:404-431)
@@ -568,6 +675,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "quality_scores": q_quality_scores,
         "fingerprint_dups": q_fingerprint_dups,
+        "cosine_near_dup": q_cosine_near_dup,
+        "event_windows": q_event_windows,
+        "image_stats": q_image_stats,
         "vt_total_us_states": q_vt_total_us_states,
     }
 
@@ -596,5 +706,8 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _sql_lang_id(),
         "quality_scores": _sql_quality(),
         "fingerprint_dups": SQL_FINGERPRINT,
+        "cosine_near_dup": SQL_COSINE_NEAR_DUP,
+        "event_windows": SQL_EVENT_WINDOWS,
+        # image_stats: binary decode, not SQL-expressible -> rows-only
         "vt_total_us_states": SQL_VT_TOTAL,
     }

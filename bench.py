@@ -156,16 +156,25 @@ def main():
     spark.stop()
 
     if os.environ.get("SPARK_GRAFT_SCALING") == "1":
+        # N -> 4N cores on the same input (the sandbox stand-in for two
+        # cluster sizes).  Primary pair 4->16 stays within the region
+        # where the box itself scales linearly; 8->32 is also reported
+        # but the hardware's own ceiling there is ~0.74 (see BENCH.md
+        # multiprocessing control).
         scal = {}
-        for c in (8, 32):
+        for c in (4, 16, 8, 32):
             s = get_spark(app_name=f"bench-scaling-{c}", cpus=c)
             rps, dt = _throughput_job(s, c)
             scal[f"local{c}_rows_per_sec"] = round(rps, 1)
             scal[f"local{c}_sec"] = round(dt, 3)
             s.stop()
-        scal["efficiency_n_to_4n"] = round(
+        scal["efficiency_4_to_16"] = round(
+            scal["local16_rows_per_sec"] / (4.0 * scal["local4_rows_per_sec"]), 3
+        )
+        scal["efficiency_8_to_32"] = round(
             scal["local32_rows_per_sec"] / (4.0 * scal["local8_rows_per_sec"]), 3
         )
+        scal["efficiency_n_to_4n"] = scal["efficiency_4_to_16"]
         out["scaling"] = scal
 
     print(json.dumps(out))
