@@ -87,10 +87,19 @@ def run_graft_images(spark, n=N_IMAGES, polys=None, centers=None, cpus=None):
     parts = (cpus or CPUS) * 2
     imgs = with_cells(with_footprints(generate_images(spark, n, parts)), zoom)
     imgs = imgs.persist()
-    n_pip = pip_join(imgs, polys, zoom).count()
-    n_knn = knn_neighbor_tiles(imgs, centers, zoom, k=3).count()
-    tiles = mosaic_tiles(imgs, zoom)
-    n_tiles = tiles.count()
+    imgs.count()  # materialize once
+    # the three downstream consumers are independent -> run them as
+    # concurrent Spark jobs (scheduler interleaves stages, no idle cores
+    # at stage barriers)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(3) as ex:
+        f_pip = ex.submit(lambda: pip_join(imgs, polys, zoom).count())
+        f_knn = ex.submit(
+            lambda: knn_neighbor_tiles(imgs, centers, zoom, k=3).count()
+        )
+        f_mos = ex.submit(lambda: mosaic_tiles(imgs, zoom).count())
+        n_pip, n_knn, n_tiles = f_pip.result(), f_knn.result(), f_mos.result()
     imgs.unpersist()
     return dict(rows=n, pip=n_pip, knn=n_knn, mosaic_tiles=n_tiles)
 

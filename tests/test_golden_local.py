@@ -221,3 +221,28 @@ def test_get_tile_zoom_guard_and_x_wrap():
     t1 = index.get_tile(1, 0, 0)
     t2 = index.get_tile(1, 2, 0)
     assert emitted_to_canonical(t1) == emitted_to_canonical(t2)
+
+
+def test_geojson_to_tile_wrap_path():
+    # one-shot render with antimeridian wrapping enabled (lib.rs:104-110)
+    feats = load_geojson_file(fixture_path("dateline.json"))
+    t_wrapped = geojson_to_tile(feats, 1, 0, 0, TileOptions(), wrap_=True, clip_=True)
+    t_plain = geojson_to_tile(feats, 1, 0, 0, TileOptions(), wrap_=False, clip_=True)
+    # the dateline feature crosses the antimeridian: wrapping must place
+    # geometry into the x=0 world tile that the unwrapped render misses
+    assert len(t_wrapped.features) >= len(t_plain.features)
+    assert len(t_wrapped.features) > 0
+
+
+def test_pyramid_walk_smoke():
+    # EP3: walk every (z,x,y) for z in [0,4) like benches/benchmark.rs:48-60
+    feats = load_geojson_file(fixture_path("us-states.json"))
+    index = GeoJSONVT(feats, Options())
+    n_nonempty = 0
+    for z in range(4):
+        for x in range(1 << z):
+            for y in range(1 << z):
+                t = index.get_tile(z, x, y)
+                if t.features:
+                    n_nonempty += 1
+    assert n_nonempty > 4
