@@ -73,7 +73,7 @@ def main():
         f"{a}->{b}": round(control[b] / (4.0 * control[a]), 3) for a, b in PAIRS
     }
     payload = dict(
-        n_rows=N,
+        n_rows=bench.N_SCALING,
         repeats=REPEATS,
         best_rows_per_sec=best,
         all_rows_per_sec=results,
