@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from geojson_vt_rs_spark.config import Options
 from geojson_vt_rs_spark.operators.pipeline import convert_stage, wrap_stage
+from geojson_vt_rs_spark.operators.schema import TILED_FEATURE_SCHEMA
 from geojson_vt_rs_spark.plans.pyramid import (
     K_CHILD,
     K_LEAF,
@@ -181,6 +182,97 @@ class CheckpointedPyramid:
             .filter(F.col("feature_idx") >= 0)
             .orderBy("feature_idx")
         )
+
+    def _tile_exists(self, out_dir: str, z: int, x: int, y: int) -> bool:
+        df = (
+            self.spark.read.parquet(os.path.join(out_dir, "tiles"))
+            .filter((F.col("z") == z) & (F.col("x") == x) & (F.col("y") == y))
+        )
+        return len(df.take(1)) > 0
+
+    def get_tile(self, out_dir: str, z: int, x_: int, y: int) -> DataFrame:
+        """Full get_tile semantics on the parquet store (lib.rs:184-223):
+        memo-hit -> pruned read; miss -> drill down from the nearest
+        ancestor's retained leaf features, append the newly created tiles
+        (and updated leaves) to the store, then read.  Returns the tile's
+        feature rows (possibly empty = EMPTY_TILE)."""
+        o = self.options
+        if z > o.max_zoom:
+            raise ValueError(f"Requested zoom higher than maxZoom: {z}")
+        z2 = 1 << z
+        x = ((x_ % z2) + z2) % z2
+        if self._tile_exists(out_dir, z, x, y):
+            return self.read_tile(out_dir, z, x, y)
+
+        # find nearest memoized ancestor with retained leaf features
+        leaves_path = os.path.join(out_dir, "leaves")
+        az, ax, ay = z, x, y
+        leaf = None
+        while az != 0:
+            az -= 1
+            ax //= 2
+            ay //= 2
+            cand = self.spark.read.parquet(leaves_path).filter(
+                (F.col("z") == az) & (F.col("x") == ax) & (F.col("y") == ay)
+            )
+            if len(cand.take(1)) > 0:
+                leaf = cand
+                break
+            if self._tile_exists(out_dir, az, ax, ay):
+                break  # memoized but feature-less ancestor -> EMPTY
+        if leaf is None:
+            return self.read_tile(out_dir, z, x, y)  # empty result
+
+        # drill down in memory (reuses the proven loop), then persist the
+        # newly created tiles/leaves back into the store
+        from geojson_vt_rs_spark.plans.pyramid import SparkGeoJSONVT
+
+        drill = SparkGeoJSONVT.__new__(SparkGeoJSONVT)
+        drill.spark = self.spark
+        drill.options = o
+        drill.tiles = {}
+        drill.leaf_features = {}
+        drill.stats = {}
+        drill.total = 0
+        drill._local = None
+        drill._run(leaf, az, ax, ay, z, x, y)
+
+        new_rows = []
+        for t in drill.tiles.values():
+            if t.z == az and t.x == ax and t.y == ay:
+                continue  # the ancestor itself is already in the store
+            if self._tile_exists(out_dir, t.z, t.x, t.y):
+                continue
+            import json as _json
+
+            for idx, tf in enumerate(t.features):
+                new_rows.append(
+                    (t.z, t.x, t.y, idx, tf["type"], tf["kind"],
+                     _json.dumps(tf["geometry"], separators=(",", ":")),
+                     None if tf["tags"] is None else _json.dumps(
+                         tf["tags"], separators=(",", ":")),
+                     tf["id_str"], tf["id_num"], t.num_points,
+                     t.num_simplified, "drill")
+                )
+            new_rows.append(
+                (t.z, t.x, t.y, -1, None, None, None, None, None, None,
+                 t.num_points, t.num_simplified, "drill")
+            )
+        if new_rows:
+            schema = (
+                "z int, x int, y int, feature_idx int, type int, kind int, "
+                "geometry_json string, tags_json string, tile_id_str string, "
+                "tile_id_num long, tile_num_points int, "
+                "tile_num_simplified int, action string"
+            )
+            self.spark.createDataFrame(new_rows, schema).write.mode(
+                "append"
+            ).partitionBy("z").parquet(os.path.join(out_dir, "tiles"))
+        for tid, pdf in drill.leaf_features.items():
+            self.spark.createDataFrame(
+                pdf[TILED_COLS], TILED_FEATURE_SCHEMA
+            ).write.mode("append").partitionBy("z").parquet(leaves_path)
+        return self.read_tile(out_dir, z, x, y)
 
 
 def checkpointed_mosaic(

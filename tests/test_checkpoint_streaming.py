@@ -93,3 +93,37 @@ def test_streaming_cell_counts(spark, tmp_path):
     got_total = got.agg({"n": "sum"}).collect()[0][0]
     assert got_total == 300
     assert got.select("cx", "cy").distinct().count() == batch.count()
+
+
+def test_checkpointed_get_tile_drilldown(spark, tmp_path):
+    """Parquet-store get_tile: memo hit, drill-down miss (creates and
+    persists new tiles), and EMPTY result for feature-less regions —
+    golden-compared against the in-memory index."""
+    import json as _json
+
+    from geojson_vt_rs_spark.plans.pyramid import SparkGeoJSONVT
+
+    out = str(tmp_path / "pyr2")
+    feats = read_geojson_features(spark, "/root/reference/fixtures/us-states.json")
+    opts = Options()  # index_max_zoom=5, default stops at z0 leaf
+    cp = CheckpointedPyramid(spark, opts)
+    cp.run(feats, out)
+
+    mem = SparkGeoJSONVT(spark, feats, opts)  # adaptive local reference
+
+    # drill-down miss -> must match the in-memory engine's tile exactly
+    got = cp.get_tile(out, 7, 37, 48).toPandas()
+    want = mem.get_tile(7, 37, 48)
+    assert len(got) == len(want.features)
+    for i, tf in enumerate(want.features):
+        row = got[got.feature_idx == i].iloc[0]
+        assert row["type"] == tf["type"]
+        assert _json.loads(row["geometry_json"]) == tf["geometry"]
+
+    # now a memo hit (persisted by the drill) — identical
+    again = cp.get_tile(out, 7, 37, 48).toPandas()
+    assert len(again) == len(got)
+
+    # feature-less region -> empty tile
+    empty = cp.get_tile(out, 11, 800, 400).toPandas()
+    assert len(empty) == 0
