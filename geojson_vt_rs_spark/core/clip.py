@@ -46,6 +46,117 @@ from geojson_vt_rs_spark.core.geom import (
 
 _EMPTY = np.empty(0, dtype=np.float64)
 
+# parts below this size use the scalar walk (numpy dispatch overhead
+# exceeds the work); tests override it to cross-check both paths
+_SMALL_N = 32
+
+
+def _clip_line_small(px, py, pz, axis, k1, k2, line_metrics, seg_start):
+    """Scalar port of the reference segment walk (clip.rs:129-260) —
+    faster than the vectorized kernel below ~32 points and an
+    independent implementation cross-checked against it by the property
+    suite."""
+    n = len(px)
+    pts = [(float(px[i]), float(py[i]), float(pz[i])) for i in range(n)]
+    slices = []
+    cur: list = []
+    cur_start = seg_start if line_metrics else 0.0
+    cur_end = 0.0
+    line_len = seg_start
+    for i in range(n - 1):
+        a = pts[i]
+        b = pts[i + 1]
+        ak = a[axis]
+        bk = b[axis]
+        is_last = i == n - 2
+        seg_len = np.hypot(b[0] - a[0], b[1] - a[1]) if line_metrics else 0.0
+
+        def isect(v):
+            t = (v - ak) / (bk - ak)
+            if axis == 0:
+                return (v, (b[1] - a[1]) * t + a[1], 1.0), t
+            return ((b[0] - a[0]) * t + a[0], v, 1.0), t
+
+        if ak < k1:
+            if bk > k2:
+                p1, t1 = isect(k1)
+                p2, t2 = isect(k2)
+                cur.append(p1)
+                cur.append(p2)
+                if line_metrics:
+                    cur_start = line_len + seg_len * t1
+                    cur_end = line_len + seg_len * t2
+                slices.append((cur, cur_start, cur_end))
+                cur = []
+                cur_start = seg_start if line_metrics else 0.0
+            elif bk > k1:
+                p1, t1 = isect(k1)
+                cur.append(p1)
+                if line_metrics:
+                    cur_start = line_len + seg_len * t1
+                if is_last:
+                    cur.append(b)
+            elif bk == k1 and not is_last:
+                if line_metrics:
+                    cur_start = line_len + seg_len
+                cur.append(b)
+        elif ak > k2:
+            if bk < k1:
+                p2, t2 = isect(k2)
+                p1, t1 = isect(k1)
+                cur.append(p2)
+                cur.append(p1)
+                if line_metrics:
+                    cur_start = line_len + seg_len * t2
+                    cur_end = line_len + seg_len * t1
+                slices.append((cur, cur_start, cur_end))
+                cur = []
+                cur_start = seg_start if line_metrics else 0.0
+            elif bk < k2:
+                p2, t2 = isect(k2)
+                cur.append(p2)
+                if line_metrics:
+                    cur_start = line_len + seg_len * t2
+                if is_last:
+                    cur.append(b)
+            elif bk == k2 and not is_last:
+                if line_metrics:
+                    cur_start = line_len + seg_len
+                cur.append(b)
+        else:
+            cur.append(a)
+            if bk < k1:
+                p1, t1 = isect(k1)
+                cur.append(p1)
+                if line_metrics:
+                    cur_end = line_len + seg_len * t1
+                slices.append((cur, cur_start, cur_end))
+                cur = []
+                cur_start = seg_start if line_metrics else 0.0
+            elif bk > k2:
+                p2, t2 = isect(k2)
+                cur.append(p2)
+                if line_metrics:
+                    cur_end = line_len + seg_len * t2
+                slices.append((cur, cur_start, cur_end))
+                cur = []
+                cur_start = seg_start if line_metrics else 0.0
+            elif is_last:
+                cur.append(b)
+        if line_metrics:
+            line_len += seg_len
+    if cur:
+        slices.append((cur, cur_start, line_len))
+    out = []
+    for pts_list, s_start, s_end in slices:
+        arr = np.asarray(pts_list, dtype=np.float64)
+        out.append(
+            (arr[:, 0], arr[:, 1], arr[:, 2],
+             s_start if line_metrics else 0.0,
+             s_end if line_metrics else 0.0)
+        )
+    return out
+
 
 def clip_line_part(
     px: np.ndarray,
@@ -65,6 +176,8 @@ def clip_line_part(
     n = len(px)
     if n < 2:
         return []
+    if n < _SMALL_N:
+        return _clip_line_small(px, py, pz, axis, k1, k2, line_metrics, seg_start)
 
     k = px if axis == 0 else py
     o = py if axis == 0 else px  # the non-clip coordinate
@@ -152,10 +265,11 @@ def clip_line_part(
     # metrics
     if line_metrics:
         seg_len = np.hypot(bx_ - ax_, by_ - ay_)
-        # line_len before segment i = seg_start + sum(seg_len[:i]) folded
-        # left-to-right (clip.rs:131,249)
-        cum = np.concatenate([[0.0], np.cumsum(seg_len)])
-        line_len = seg_start + cum[:-1]
+        # line_len before segment i = seg_start left-folded with the
+        # hypots (clip.rs:131,249); seeding the cumsum with seg_start
+        # reproduces the reference's exact rounding order
+        cum = np.cumsum(np.concatenate([[seg_start], seg_len]))
+        line_len = cum[:-1]
         with np.errstate(invalid="ignore"):
             start_val = np.where(
                 A1 | A2,
@@ -169,7 +283,7 @@ def clip_line_part(
             end_val = np.where(
                 A1 | C2, line_len + seg_len * t2, line_len + seg_len * t1
             )
-        final_end = seg_start + cum[-1]
+        final_end = float(cum[-1])
         # first emitting segment per stream position
         seg_of_pos = np.empty(total, dtype=np.int64)
         seg_of_pos[p0] = np.nonzero(e0)[0]
@@ -201,6 +315,51 @@ def clip_line_part(
     return slices
 
 
+def _clip_ring_small(px, py, pz, axis, k1, k2):
+    """Scalar port of the ring walk (clip.rs:263-356)."""
+    n = len(px)
+    pts = [(float(px[i]), float(py[i]), float(pz[i])) for i in range(n)]
+    out = []
+    for i in range(n - 1):
+        a = pts[i]
+        b = pts[i + 1]
+        ak = a[axis]
+        bk = b[axis]
+
+        def isect(v):
+            t = (v - ak) / (bk - ak)
+            if axis == 0:
+                return (v, (b[1] - a[1]) * t + a[1], 1.0)
+            return ((b[0] - a[0]) * t + a[0], v, 1.0)
+
+        if ak < k1:
+            if bk > k1:
+                out.append(isect(k1))
+                if bk > k2:
+                    out.append(isect(k2))
+                elif i == n - 2:
+                    out.append(b)
+        elif ak > k2:
+            if bk < k2:
+                out.append(isect(k2))
+                if bk < k1:
+                    out.append(isect(k1))
+                elif i == n - 2:
+                    out.append(b)
+        else:
+            out.append(a)
+            if bk < k1:
+                out.append(isect(k1))
+            elif bk > k2:
+                out.append(isect(k2))
+    if out and out[0] != out[-1]:
+        out.append(out[0])
+    if not out:
+        return _EMPTY, _EMPTY, _EMPTY
+    arr = np.asarray(out, dtype=np.float64)
+    return arr[:, 0], arr[:, 1], arr[:, 2]
+
+
 def clip_ring_part(
     px: np.ndarray, py: np.ndarray, pz: np.ndarray, axis: int, k1: float, k2: float
 ) -> tuple:
@@ -208,6 +367,8 @@ def clip_ring_part(
     n = len(px)
     if n < 2:
         return _EMPTY, _EMPTY, _EMPTY
+    if n < _SMALL_N:
+        return _clip_ring_small(px, py, pz, axis, k1, k2)
 
     k = px if axis == 0 else py
     o = py if axis == 0 else px

@@ -30,6 +30,11 @@ def simplify(xs: np.ndarray, ys: np.ndarray, zs: np.ndarray, tolerance: float) -
     stack = [(0, n - 1)]
     while stack:
         first, last = stack.pop()
+        if last - first - 1 < 24:
+            # scalar fast path: tiny intervals are cheaper without numpy
+            # dispatch overhead; a straight port of the reference scan
+            _simplify_small(xs, ys, zs, first, last, sq_tolerance, stack)
+            continue
         # squared distance of interior points to segment (first,last),
         # with endpoint clamping (get_sq_seg_dist, simplify.rs:4-26)
         ax, ay = xs[first], ys[first]
@@ -47,40 +52,70 @@ def simplify(xs: np.ndarray, ys: np.ndarray, zs: np.ndarray, tolerance: float) -
         ddy = py - cy
         sq = ddx * ddx + ddy * ddy
 
-        max_sq = sq_tolerance
-        index = 0
-        mid = first + ((last - first) >> 1)
-        min_pos_to_mid = last - first
-        # single pass replicating the scalar scan's argmax + midpoint
-        # tie-break semantics exactly (ties at the current max re-select
-        # only when strictly closer to mid)
-        better = sq > max_sq
-        if better.any():
-            # process in order, same as the reference loop, but cheaply:
-            # the running max only changes at strictly-increasing values.
-            order_vals = sq
-            running = np.maximum.accumulate(order_vals)
-            is_new_max = order_vals >= running
-            # fall back to exact scalar semantics over the (few) candidates
-            for j in np.nonzero(is_new_max | (order_vals == order_vals.max()))[0]:
-                i = first + 1 + int(j)
-                sq_dist = float(order_vals[j])
-                if sq_dist > max_sq:
-                    index = i
-                    max_sq = sq_dist
-                elif sq_dist == max_sq:
-                    pos_to_mid = abs(i - mid)
-                    if pos_to_mid < min_pos_to_mid:
-                        index = i
-                        min_pos_to_mid = pos_to_mid
-        else:
-            # no point exceeds tolerance; handle exact-tie-with-tolerance
-            # candidates (sq == sq_tolerance never triggers: require >)
-            pass
-
+        # Exact reproduction of the reference scan's pivot choice
+        # (simplify.rs:35-51) in closed form:
+        #   * the pivot's score is M = max(sq) when M > sq_tolerance;
+        #   * with a single occurrence of M, that index wins via the
+        #     strict `>` branch;
+        #   * with several, the first occurrence is always displaced by a
+        #     later one (|i-mid| <= last-first-1 < the initial
+        #     min_pos_to_mid), and among the later occurrences the scan
+        #     keeps the FIRST one attaining the minimal |i-mid| (strict
+        #     `<` update) — np.argmin's first-minimum rule.
+        max_sq = float(sq.max()) if len(sq) else sq_tolerance
         if max_sq > sq_tolerance:
+            occ = np.nonzero(sq == max_sq)[0]
+            if len(occ) == 1:
+                index = first + 1 + int(occ[0])
+            else:
+                mid = first + ((last - first) >> 1)
+                cands = occ[1:] + first + 1
+                index = int(cands[np.argmin(np.abs(cands - mid))])
             zs[index] = max_sq
             if index - first > 1:
                 stack.append((first, index))
             if last - index > 1:
                 stack.append((index, last))
+
+
+def _simplify_small(xs, ys, zs, first, last, sq_tolerance, stack):
+    """Scalar scan, literally the reference loop (simplify.rs:29-67)."""
+    max_sq = sq_tolerance
+    index = 0
+    mid = first + ((last - first) >> 1)
+    min_pos_to_mid = last - first
+    fx = float(xs[first])
+    fy = float(ys[first])
+    lx = float(xs[last])
+    ly = float(ys[last])
+    dx0 = lx - fx
+    dy0 = ly - fy
+    d2 = dx0 * dx0 + dy0 * dy0
+    for i in range(first + 1, last):
+        px = float(xs[i])
+        py = float(ys[i])
+        x, y = fx, fy
+        if d2 != 0.0:
+            t = ((px - fx) * dx0 + (py - fy) * dy0) / d2
+            if t > 1.0:
+                x, y = lx, ly
+            elif t > 0.0:
+                x = fx + dx0 * t
+                y = fy + dy0 * t
+        ddx = px - x
+        ddy = py - y
+        sq = ddx * ddx + ddy * ddy
+        if sq > max_sq:
+            index = i
+            max_sq = sq
+        elif sq == max_sq:
+            pos = abs(i - mid)
+            if pos < min_pos_to_mid:
+                index = i
+                min_pos_to_mid = pos
+    if max_sq > sq_tolerance:
+        zs[index] = max_sq
+        if index - first > 1:
+            stack.append((first, index))
+        if last - index > 1:
+            stack.append((index, last))

@@ -117,3 +117,59 @@ def test_raycast_matches_rectangle(x0, y0, w, h, pts):
     strict_out = (px < x0 - eps) | (px > x0 + w + eps) | (py < y0 - eps) | (py > y0 + h + eps)
     assert (got[strict_in]).all()
     assert (~got[strict_out]).all()
+
+
+big_coords = st.lists(
+    st.tuples(
+        st.floats(-100, 100, allow_nan=False, width=16),
+        st.floats(-100, 100, allow_nan=False, width=16),
+    ),
+    min_size=2,
+    max_size=80,
+)
+
+
+@given(big_coords, st.floats(-50, 0), st.floats(1, 50), st.booleans())
+@settings(max_examples=200, deadline=None)
+def test_clip_line_scalar_vs_vectorized(pts, k1, dk, metrics):
+    """The scalar walk and the vectorized kernel are independent
+    implementations of clip.rs:129-260 — they must agree exactly."""
+    from geojson_vt_rs_spark.core import clip as clipmod
+
+    k2 = k1 + dk
+    xs = np.array([p[0] for p in pts])
+    ys = np.array([p[1] for p in pts])
+    zs = np.arange(len(xs), dtype=np.float64) / 100.0
+    a = clipmod._clip_line_small(xs, ys, zs, 0, k1, k2, metrics, 5.0)
+    orig = clipmod._SMALL_N
+    try:
+        clipmod._SMALL_N = 0  # force the vectorized path
+        b = clipmod.clip_line_part(xs, ys, zs, 0, k1, k2, metrics, 5.0)
+    finally:
+        clipmod._SMALL_N = orig
+    assert len(a) == len(b)
+    for (ax_, ay_, az_, as_, ae_), (bx_, by_, bz_, bs_, be_) in zip(a, b):
+        assert np.array_equal(ax_, bx_) and np.array_equal(ay_, by_)
+        assert np.array_equal(az_, bz_)
+        assert as_ == bs_ and ae_ == be_
+
+
+@given(big_coords, st.floats(-50, 0), st.floats(1, 50))
+@settings(max_examples=200, deadline=None)
+def test_clip_ring_scalar_vs_vectorized(pts, k1, dk):
+    from geojson_vt_rs_spark.core import clip as clipmod
+
+    pts = pts + [pts[0]]
+    k2 = k1 + dk
+    xs = np.array([p[0] for p in pts])
+    ys = np.array([p[1] for p in pts])
+    zs = np.arange(len(xs), dtype=np.float64) / 100.0
+    ax_, ay_, az_ = clipmod._clip_ring_small(xs, ys, zs, 0, k1, k2)
+    orig = clipmod._SMALL_N
+    try:
+        clipmod._SMALL_N = 0
+        bx_, by_, bz_ = clipmod.clip_ring_part(xs, ys, zs, 0, k1, k2)
+    finally:
+        clipmod._SMALL_N = orig
+    assert np.array_equal(ax_, bx_) and np.array_equal(ay_, by_)
+    assert np.array_equal(az_, bz_)
