@@ -48,30 +48,54 @@ def duck_minhash_expr(p: int, col: str = "text") -> str:
 
 
 def with_minhashes(docs: DataFrame) -> DataFrame:
-    out = docs
-    for p in range(N_PERM):
-        out = out.withColumn(f"mh{p}", F.expr(spark_minhash_expr(p)))
-    return out
+    """doc_id + the 8 minhashes as ONE array column — computed in a
+    single projection (a per-band union would re-evaluate the md5
+    shingle pipeline once per branch: Catalyst does no CSE across
+    union legs)."""
+    return docs.select(
+        "doc_id",
+        F.array(*[F.expr(spark_minhash_expr(p)) for p in range(N_PERM)]).alias(
+            "mhs"
+        ),
+    )
 
 
 def minhash_band_pairs(docs: DataFrame) -> DataFrame:
     """LSH candidate pairs: equal 2-row band signature -> same bucket ->
     pair.  Returns distinct (doc_a, doc_b) with the estimated similarity
-    (fraction of equal minhashes over all permutations)."""
-    mh = with_minhashes(docs).select("doc_id", *[f"mh{p}" for p in range(N_PERM)])
-    bands = None
-    for b in range(N_BANDS):
-        d = mh.select(
-            "doc_id",
-            F.lit(b).alias("band"),
-            F.concat_ws(
-                ",", F.col(f"mh{2*b}").cast("string"), F.col(f"mh{2*b+1}").cast("string")
-            ).alias("bkey"),
-            *[f"mh{p}" for p in range(N_PERM)],
-        )
-        bands = d if bands is None else bands.unionByName(d)
+    (fraction of equal minhashes over all permutations).  Bands come
+    from an explode over the precomputed signature array, so the
+    expensive hashing runs once per row per join side."""
+    mh = with_minhashes(docs)
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    ",",
+                    F.col("mhs")[2 * b].cast("string"),
+                    F.col("mhs")[2 * b + 1].cast("string"),
+                ).alias("bkey"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    bands = mh.select("doc_id", "mhs", F.explode(band_arr).alias("bb")).select(
+        "doc_id", "mhs", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
+    )
+    # the self-join would otherwise evaluate the md5 signature pipeline
+    # once per side; the band table is tiny (4 rows/doc of ints) so cache
+    # it — both join sides then share the one materialization
+    bands = bands.persist()
     a = bands.alias("a")
     bb = bands.alias("b")
+    n_equal = sum(
+        [
+            (F.col("a.mhs")[p] == F.col("b.mhs")[p]).cast("int")
+            for p in range(N_PERM)
+        ],
+        F.lit(0),
+    )
     pairs = (
         a.join(
             bb,
@@ -82,13 +106,7 @@ def minhash_band_pairs(docs: DataFrame) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            sum(
-                [
-                    (F.col(f"a.mh{p}") == F.col(f"b.mh{p}")).cast("int")
-                    for p in range(N_PERM)
-                ],
-                F.lit(0),
-            ).alias("n_equal"),
+            n_equal.alias("n_equal"),
         )
         .distinct()
     )

@@ -89,3 +89,29 @@ def test_spark_tile_corpus(spark, inp, exp, imz, imp, lm):
     assert set(actual.keys()) == set(expected.keys())
     for key in expected:
         assert actual[key] == expected[key], f"tile {key} of {inp}"
+
+
+def test_feature_schema_parquet_roundtrip(spark, tmp_path):
+    """The flat feature encoding persists losslessly through parquet —
+    the property that makes leaf-feature checkpoints exact."""
+    import numpy as np
+
+    from geojson_vt_rs_spark.operators.pipeline import convert_stage
+    from geojson_vt_rs_spark.operators.schema import pdf_to_features
+
+    feats = read_geojson_features(spark, fixture_path("us-states.json"))
+    conv = convert_stage(feats, 1e-7, False)
+    path = str(tmp_path / "feats")
+    conv.write.parquet(path)
+    back = spark.read.parquet(path)
+
+    a = conv.toPandas().sort_values("feature_seq", ignore_index=True)
+    b = back.toPandas().sort_values("feature_seq", ignore_index=True)
+    assert len(a) == len(b)
+    for fa, fb in zip(pdf_to_features(a), pdf_to_features(b)):
+        assert np.array_equal(fa.xs, fb.xs)
+        assert np.array_equal(fa.ys, fb.ys)
+        assert np.array_equal(fa.zs, fb.zs)  # DP importance bit-exact
+        assert np.array_equal(fa.part_offsets, fb.part_offsets)
+        assert fa.bbox == fb.bbox
+        assert fa.props_json == fb.props_json
