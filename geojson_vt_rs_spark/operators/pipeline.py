@@ -24,6 +24,7 @@ from typing import Iterator, List
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from geojson_vt_rs_spark.config import Options, TileOptions
 from geojson_vt_rs_spark.core.clip import clip_feature
@@ -176,6 +177,102 @@ def clip_xy_stage(
             yield pd.DataFrame(out, columns=FEATURE_COLS)
 
     return pruned.mapInPandas(kernel, schema=FEATURE_SCHEMA)
+
+
+RENDER_SCHEMA = T.StructType(
+    [
+        T.StructField("z", T.IntegerType(), False),
+        T.StructField("x", T.IntegerType(), False),
+        T.StructField("y", T.IntegerType(), False),
+        T.StructField("world_copy", T.IntegerType()),
+        T.StructField("feature_seq", T.LongType()),
+        T.StructField("slice_path", T.StringType()),
+        T.StructField("sub_idx", T.IntegerType()),
+        T.StructField("type", T.IntegerType()),
+        T.StructField("kind", T.IntegerType()),
+        T.StructField("geometry_json", T.StringType()),
+        T.StructField("tags_json", T.StringType()),
+        T.StructField("id_str", T.StringType()),
+        T.StructField("id_num", T.LongType()),
+        T.StructField("n_emitted", T.IntegerType()),
+    ]
+)
+
+RENDER_COLS = [f.name for f in RENDER_SCHEMA.fields]
+
+
+def render_stage(df: DataFrame, options) -> DataFrame:
+    """Per-ROW tile rendering (tile.rs:105-297 per feature).
+
+    Rendering a tile is decomposable: every feature transforms and
+    filters independently (GC flattening yields several output features,
+    ordered by sub_idx); per-tile num_simplified is the sum of the
+    per-row n_emitted.  This keeps giant tiles (a z0 root with millions
+    of features) fully row-parallel — the reference's sequential
+    InternalTile::new loop is just the serial schedule of this map.
+    feature_idx is assigned later from the deterministic sort key
+    (world_copy, feature_seq, slice_path, sub_idx).
+    """
+    extent = options.tile.extent
+    tol = options.tile.tolerance
+    max_zoom = options.max_zoom
+    lm = options.tile.line_metrics
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: List[dict] = []
+            zs = pdf["z"].to_numpy()
+            xs_ = pdf["x"].to_numpy()
+            ys_ = pdf["y"].to_numpy()
+            wc = pdf["world_copy"].to_numpy()
+            seq = pdf["feature_seq"].to_numpy()
+            sp = pdf["slice_path"].to_numpy()
+            for i, f in enumerate(pdf_to_features(pdf)):
+                z, x, y = int(zs[i]), int(xs_[i]), int(ys_[i])
+                tolerance = 0.0 if z == max_zoom else tol / (float(1 << z) * extent)
+                em = TileEmitter(z, x, y, extent, tolerance, lm)
+                em.add_feature(f)
+                if not em.features:
+                    # still contributes num_simplified? no features kept,
+                    # but transform_point calls may have run (e.g. points
+                    # filtered later) — keep the counter row
+                    if em.num_simplified:
+                        out.append(
+                            dict.fromkeys(RENDER_COLS)
+                            | dict(
+                                z=z, x=x, y=y,
+                                world_copy=int(wc[i]), feature_seq=int(seq[i]),
+                                slice_path=sp[i], sub_idx=-1,
+                                n_emitted=em.num_simplified,
+                            )
+                        )
+                    continue
+                for si, tf in enumerate(em.features):
+                    out.append(
+                        dict(
+                            z=z, x=x, y=y,
+                            world_copy=int(wc[i]),
+                            feature_seq=int(seq[i]),
+                            slice_path=sp[i],
+                            sub_idx=si,
+                            type=tf["type"],
+                            kind=tf["kind"],
+                            geometry_json=json.dumps(
+                                tf["geometry"], separators=(",", ":")
+                            ),
+                            tags_json=(
+                                None
+                                if tf["tags"] is None
+                                else json.dumps(tf["tags"], separators=(",", ":"))
+                            ),
+                            id_str=tf["id_str"],
+                            id_num=tf["id_num"],
+                            n_emitted=em.num_simplified if si == 0 else 0,
+                        )
+                    )
+            yield pd.DataFrame(out, columns=RENDER_COLS)
+
+    return df.mapInPandas(kernel, schema=RENDER_SCHEMA)
 
 
 def _emit_rows(

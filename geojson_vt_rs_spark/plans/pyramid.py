@@ -112,8 +112,26 @@ class SparkTile:
 EMPTY_TILE = SparkTile(0, 0, 0, [], 0, 0)
 
 
-def _level_kernel(options: Options, cz: int, cx: int, cy: int):
-    """Group kernel: render + decide + (retain | split) one tile."""
+def fuse_bound(options: Options, cz: int) -> int:
+    """Max num_points for which a split tile's WHOLE subtree runs in one
+    task.  Serial subtree work ~ tnp * depth, and depth grows while
+    children stay above index_max_points, so first-pass tiling caps at
+    max(index_max_points, 8192); drill-down descends a single path and
+    gets the full budget."""
+    fm = getattr(options, "fuse_max_points", 0)
+    if cz == 0:
+        return min(fm, max(options.index_max_points, 8192))
+    return fm
+
+
+def _level_kernel(
+    options: Options, cz: int, cx: int, cy: int, force_subtree: bool = False
+):
+    """Group kernel: render + decide + (retain | split-or-subtree) one tile.
+
+    With ``force_subtree`` (driver already routed this group as 'fuse'
+    and guaranteed boundedness) a split action always recurses locally —
+    the caller ignores K_CHILD rows in that mode."""
     o = options
     extent = o.tile.extent
     tol = o.tile.tolerance
@@ -122,14 +140,7 @@ def _level_kernel(options: Options, cz: int, cx: int, cy: int):
     imz = o.index_max_zoom
     imp = o.index_max_points
 
-    # Fusion threshold: a split tile's subtree work scales with how far
-    # below index_max_points its children must shrink — with a small (or
-    # zero) index_max_points every descendant keeps splitting, so fusing
-    # a big tile would serialize a wide subtree into one task.  Bound the
-    # fused work by 4*index_max_points for first-pass tiling; drill-down
-    # descends a single path, so the full budget applies.
-    fuse_first = min(getattr(o, "fuse_max_points", 0), 4 * o.index_max_points)
-    fuse_drill = getattr(o, "fuse_max_points", 0)
+    _bound = fuse_bound(o, cz)
 
     def _emitter_rows(rows, em, z, x, y, action):
         def tile_row(row_kind, **kw):
@@ -198,8 +209,7 @@ def _level_kernel(options: Options, cz: int, cx: int, cy: int):
             m = 1 << (cz - z)
             action = "split" if (x == cx // m and y == cy // m) else "leaf"
 
-        fuse_max = fuse_first if cz == 0 else fuse_drill
-        if action == "split" and em.num_points <= fuse_max:
+        if action == "split" and (force_subtree or em.num_points <= _bound):
             # adaptive subtree fusion: this tile's whole recursion fits in
             # one task — run the core tiler here; identical results, no
             # further driver round-trips for this subtree
@@ -325,69 +335,186 @@ class SparkGeoJSONVT:
         self.stats[z] = self.stats.get(z, 0) + 1
         self.total += 1
 
-    def _run(self, frontier: DataFrame, rz, rx, ry, cz, cx, cy):
+    def _decide(self, z, x, y, num_points, cz, cx, cy) -> str:
+        """'leaf' (stop+retain) | 'stop' (no retain) | 'split'
+        (lib.rs:305-338)."""
         o = self.options
-        kernel = _level_kernel(o, cz, cx, cy)
+        if cz == 0:
+            if z == o.index_max_zoom or num_points <= o.index_max_points:
+                return "leaf"
+            return "split"
+        if z == o.max_zoom:
+            return "stop"
+        if z == cz:
+            return "leaf"
+        m = 1 << (cz - z)
+        if x != cx // m or y != cy // m:
+            return "leaf"
+        return "split"
+
+    def _run(self, frontier: DataFrame, rz, rx, ry, cz, cx, cy):
+        """One pyramid level per loop turn, decision-first:
+
+        1. per-tile num_points via a JVM partial+final agg (the ONLY
+           per-tile state the stop predicate needs, lib.rs:305-313);
+        2. driver decides leaf/stop/split per tile (index-sized), small
+           split tiles become 'fuse' (whole subtree in one task);
+        3. rendering and child-splitting run per-ROW (mapInPandas) —
+           a z0 root with millions of features stays fully parallel;
+           only bounded 'fuse' groups use applyInPandas.
+        """
+        from geojson_vt_rs_spark.operators.pipeline import render_stage, split_stage
+
+        o = self.options
+        spark = self.spark
+        # driver-routed fuse groups must always recurse locally
+        kernel = _level_kernel(o, cz, cx, cy, force_subtree=True)
+        fuse_max = fuse_bound(o, cz)
+        import os
+        import time as _time
+
+        debug = os.environ.get("SPARK_GRAFT_DEBUG_LEVELS") == "1"
         first = True
         pending_children: list = []  # expected child keys of split parents
         prev = None
         while True:
-            fused = (
+            _t0 = _time.time()
+            frontier = frontier.persist()
+            np_pdf = (
                 frontier.groupBy("z", "x", "y")
-                .applyInPandas(kernel, schema=STEP_SCHEMA)
-                .persist()
+                .agg(F.sum("num_points").alias("tnp"))
+                .toPandas()
             )
-            meta = fused.filter(F.col("row_kind").isin(K_TILE, K_STATS, K_LEAF)).toPandas()
+            _t_agg = _time.time()
             if prev is not None:
                 prev.unpersist()
+            if np_pdf.empty:
+                if first:
+                    # split_tile(empty, root) still creates the root tile
+                    # (lib.rs:265-295: insert precedes the early return)
+                    self._register(rz, rx, ry, [], 0, 0)
+                for ck in pending_children:
+                    self._register(ck[0], ck[1], ck[2], [], 0, 0)
+                frontier.unpersist()
+                return
+            first = False
 
-            tile_pdf = meta[meta.row_kind.isin([K_TILE, K_STATS])]
             observed = set()
-            split_parents = []
-            for (z, x, y), grp in tile_pdf.groupby(["z", "x", "y"], sort=False):
-                z, x, y = int(z), int(x), int(y)
+            decisions = []
+            for r in np_pdf.itertuples(index=False):
+                z, x, y, tnp = int(r.z), int(r.x), int(r.y), int(r.tnp)
                 observed.add((z, x, y))
-                stats_row = grp[grp.row_kind == K_STATS].iloc[0]
-                feats = _rows_to_tile_features(grp[grp.row_kind == K_TILE])
-                self._register(
-                    z, x, y, feats,
-                    int(stats_row["tile_num_points"]),
-                    int(stats_row["tile_num_simplified"]),
-                )
-                if stats_row["action"] == "split":
-                    split_parents.append((z, x, y))
-                    self.leaf_features.pop(to_id(z, x, y), None)  # lib.rs:430-433
-
+                action = self._decide(z, x, y, tnp, cz, cx, cy)
+                if action == "split" and tnp <= fuse_max:
+                    action = "fuse"
+                decisions.append((z, x, y, action, tnp))
             # children of the PREVIOUS level's split parents that received
             # no features -> empty memoized tiles (lib.rs:344-428)
             for ck in pending_children:
                 if ck not in observed:
                     self._register(ck[0], ck[1], ck[2], [], 0, 0)
 
-            leaf_pdf = meta[meta.row_kind == K_LEAF]
-            for (z, x, y), grp in leaf_pdf.groupby(["z", "x", "y"], sort=False):
-                self.leaf_features[to_id(int(z), int(x), int(y))] = grp[
-                    TILED_COLS
-                ].reset_index(drop=True)
+            ddf = spark.createDataFrame(
+                [(z, x, y, a) for z, x, y, a, _ in decisions],
+                "z int, x int, y int, action string",
+            )
+            fr = frontier.join(F.broadcast(ddf), ["z", "x", "y"]).persist()
 
-            if tile_pdf.empty and first:
-                # split_tile(empty, root) still creates the root tile
-                # (lib.rs:265-295: insert precedes the early return)
-                self._register(rz, rx, ry, [], 0, 0)
-            first = False
+            # per-row render of every non-fused live tile
+            nonfuse = fr.filter(F.col("action") != "fuse").drop("action")
+            rend = render_stage(nonfuse, o).toPandas()
+            _t_rend = _time.time()
+            frontier.unpersist()
+            rend_groups = (
+                dict(list(rend.groupby(["z", "x", "y"], sort=False)))
+                if not rend.empty
+                else {}
+            )
 
+            split_parents = []
+            has_fuse = False
+            has_leaf = False
+            for z, x, y, action, tnp in decisions:
+                if action == "fuse":
+                    has_fuse = True
+                    continue
+                if action == "leaf":
+                    has_leaf = True
+                grp = rend_groups.get((z, x, y))
+                if grp is None:
+                    feats, ns = [], 0
+                else:
+                    ns = int(grp["n_emitted"].sum())
+                    sub = grp[grp["sub_idx"] >= 0].sort_values(
+                        ["world_copy", "feature_seq", "slice_path", "sub_idx"],
+                        kind="stable",
+                    )
+                    feats = _render_rows_to_features(sub)
+                self._register(z, x, y, feats, tnp, ns)
+                if action == "split":
+                    split_parents.append((z, x, y))
+                    self.leaf_features.pop(to_id(z, x, y), None)  # lib.rs:430-433
+
+            # bounded fused subtrees (grouped; group size <= fuse_max pts)
+            if has_fuse:
+                step = (
+                    fr.filter(F.col("action") == "fuse")
+                    .drop("action")
+                    .groupBy("z", "x", "y")
+                    .applyInPandas(kernel, schema=STEP_SCHEMA)
+                )
+                meta = step.filter(
+                    F.col("row_kind").isin(K_TILE, K_STATS, K_LEAF)
+                ).toPandas()
+                tile_pdf = meta[meta.row_kind.isin([K_TILE, K_STATS])]
+                for (z, x, y), grp in tile_pdf.groupby(["z", "x", "y"], sort=False):
+                    stats_row = grp[grp.row_kind == K_STATS].iloc[0]
+                    self._register(
+                        int(z), int(x), int(y),
+                        _rows_to_tile_features(grp[grp.row_kind == K_TILE]),
+                        int(stats_row["tile_num_points"]),
+                        int(stats_row["tile_num_simplified"]),
+                    )
+                leaf_pdf = meta[meta.row_kind == K_LEAF]
+                for (z, x, y), grp in leaf_pdf.groupby(["z", "x", "y"], sort=False):
+                    self.leaf_features[to_id(int(z), int(x), int(y))] = grp[
+                        TILED_COLS
+                    ].reset_index(drop=True)
+
+            # leaf tiles retain their source features (lib.rs:311,324,335)
+            if has_leaf:
+                leaf_rows = (
+                    fr.filter(F.col("action") == "leaf")
+                    .drop("action")
+                    .select(*TILED_COLS)
+                    .toPandas()
+                )
+                for (z, x, y), grp in leaf_rows.groupby(["z", "x", "y"], sort=False):
+                    self.leaf_features[to_id(int(z), int(x), int(y))] = grp[
+                        TILED_COLS
+                    ].reset_index(drop=True)
+
+            if debug:
+                zmin = int(np_pdf["z"].min())
+                print(
+                    f"[pyramid] z{zmin}: tiles={len(np_pdf)} "
+                    f"agg={_t_agg - _t0:.1f}s render={_t_rend - _t_agg:.1f}s "
+                    f"rest={_time.time() - _t_rend:.1f}s",
+                    flush=True,
+                )
             if not split_parents:
-                fused.unpersist()
+                fr.unpersist()
                 return
-
             pending_children = [
                 (z + 1, 2 * x + dx, 2 * y + dy)
                 for z, x, y in split_parents
                 for dx in (0, 1)
                 for dy in (0, 1)
             ]
-            frontier = fused.filter(F.col("row_kind") == K_CHILD).select(*TILED_COLS)
-            prev = fused
+            frontier = split_stage(
+                fr.filter(F.col("action") == "split").drop("action"), o
+            )
+            prev = fr
 
     # ------------------------------------------------------------------
     def find_parent(self, z, x, y):
@@ -436,6 +563,23 @@ class SparkGeoJSONVT:
 
     def get_internal_tiles(self):
         return self.tiles
+
+
+def _render_rows_to_features(sub: pd.DataFrame) -> list:
+    """RENDER_SCHEMA rows (already sorted) -> canonical tile features."""
+    feats = []
+    for r in sub.itertuples(index=False):
+        feats.append(
+            dict(
+                type=int(r.type),
+                kind=int(r.kind),
+                geometry=json.loads(r.geometry_json),
+                tags=None if r.tags_json is None else json.loads(r.tags_json),
+                id_str=r.id_str if isinstance(r.id_str, str) else None,
+                id_num=int(r.id_num) if pd.notna(r.id_num) else None,
+            )
+        )
+    return feats
 
 
 def _rows_to_tile_features(grp: pd.DataFrame) -> list:
