@@ -117,11 +117,7 @@ def split_stage(df: DataFrame, options: Options) -> DataFrame:
             zs = pdf["z"].to_numpy()
             xs = pdf["x"].to_numpy()
             ys = pdf["y"].to_numpy()
-            recs = pdf.to_dict("records")
-            for i, rec in enumerate(recs):
-                from geojson_vt_rs_spark.operators.schema import row_to_feature
-
-                f = row_to_feature(rec)
+            for i, f in enumerate(pdf_to_features(pdf)):
                 z, x, y = int(zs[i]), int(xs[i]), int(ys[i])
                 z2 = float(1 << z)
                 p = 0.5 * buffer / extent

@@ -150,18 +150,67 @@ def row_to_feature(r) -> VtFeature:
 
 
 def features_to_pdf(features: list, extra: Optional[dict] = None) -> pd.DataFrame:
-    rows = []
+    """Column-wise assembly (dict-of-lists) — avoids per-cell boxing."""
+    names = [f.name for f in FEATURE_SCHEMA.fields]
+    data: dict = {n: [] for n in names}
     for f in features:
         row = feature_to_row(f)
-        if extra:
-            row.update(extra)
-        rows.append(row)
-    cols = [f.name for f in FEATURE_SCHEMA.fields]
+        for n in names:
+            data[n].append(row[n])
+    cols = names
     if extra:
-        cols = list(extra.keys()) + cols
-    return pd.DataFrame(rows, columns=cols)
+        n_rows = len(features)
+        for k, v in extra.items():
+            data[k] = [v] * n_rows
+        cols = list(extra.keys()) + names
+    return pd.DataFrame(data, columns=cols)
+
+
+_F8_COLS = ("xs", "ys", "zs", "part_dist", "part_seg_start", "part_seg_end",
+            "part_area")
 
 
 def pdf_to_features(pdf: pd.DataFrame) -> Iterator[VtFeature]:
-    for r in pdf.to_dict("records"):
-        yield row_to_feature(r)
+    """Columnar fast path: index numpy object arrays directly instead of
+    materializing per-row dicts (to_dict boxes every cell)."""
+    n = len(pdf)
+    if n == 0:
+        return
+    c = {name: pdf[name].to_numpy() for name in
+         ("feature_seq", "world_copy", "slice_path", "id_str", "id_num",
+          "props_json", "geom_type", "xs", "ys", "zs", "part_offsets",
+          "ring_offsets", "gc_kinds", "gc_part_offsets", "part_dist",
+          "part_seg_start", "part_seg_end", "part_area", "bbox_min_x",
+          "bbox_min_y", "bbox_max_x", "bbox_max_y", "num_points")}
+    for i in range(n):
+        gk = c["gc_kinds"][i]
+        props = c["props_json"][i]
+        id_str = c["id_str"][i]
+        id_num = c["id_num"][i]
+        yield VtFeature(
+            geom_type=int(c["geom_type"][i]),
+            xs=_np(c["xs"][i], np.float64),
+            ys=_np(c["ys"][i], np.float64),
+            zs=_np(c["zs"][i], np.float64),
+            part_offsets=_np(c["part_offsets"][i], np.int32),
+            ring_offsets=_np(c["ring_offsets"][i], np.int32),
+            gc_kinds=None if gk is None else np.asarray(gk, dtype=np.int8),
+            gc_part_offsets=_np(c["gc_part_offsets"][i], np.int32),
+            part_dist=_np(c["part_dist"][i], np.float64),
+            part_seg_start=_np(c["part_seg_start"][i], np.float64),
+            part_seg_end=_np(c["part_seg_end"][i], np.float64),
+            part_area=_np(c["part_area"][i], np.float64),
+            props_json=props if isinstance(props, str) else None,
+            id_str=id_str if isinstance(id_str, str) else None,
+            id_num=int(id_num) if id_num is not None and pd.notna(id_num) else None,
+            feature_seq=int(c["feature_seq"][i]),
+            world_copy=int(c["world_copy"][i]),
+            slice_path=c["slice_path"][i] or "",
+            bbox=(
+                float(c["bbox_min_x"][i]),
+                float(c["bbox_min_y"][i]),
+                float(c["bbox_max_x"][i]),
+                float(c["bbox_max_y"][i]),
+            ),
+            num_points=int(c["num_points"][i]),
+        )
