@@ -551,6 +551,32 @@ def q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_salted_cell_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted two-phase aggregation (hot metro cells): the
+    oracle is the PLAIN group-by count — proving the salted plan computes
+    identical results while bounding per-reducer fan-in."""
+    from geojson_vt_rs_spark.functions.salting import salted_count
+
+    pts = _orders_points(spark, sf_dir)
+    mx = mercator_x(F.col("lon"))
+    my = mercator_y(F.col("lat"))
+    cx, cy = cell_xy(mx, my, 7)
+    cells = pts.select(cell_id(7, cx, cy).alias("cell"))
+    return salted_count(cells, ["cell"], n_salts=16, out="n_points")
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN scale path (random-hyperplane multi-probe +
+    exact rescore).  Hyperplanes are seeded numpy — not SQL-expressible,
+    so the driver records rows-only; recall vs brute force is asserted in
+    tests/test_ann_salting.py."""
+    from geojson_vt_rs_spark.operators.ann import lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = [float(v) for v in emb.filter("vec_id = 0").collect()[0]["embedding"]]
+    return lsh_topk(emb, qv, k=10, bits=6, probe_radius=2)
+
+
 # ---------------------------------------------- end-to-end engine (no SQL)
 def q_vt_total_us_states(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replays the reference's get_tile_us_states scenario (tests.rs:404-431)
@@ -678,6 +704,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_near_dup": q_cosine_near_dup,
         "event_windows": q_event_windows,
         "image_stats": q_image_stats,
+        "salted_cell_counts": q_salted_cell_counts,
+        "ann_lsh_topk": q_ann_lsh_topk,
         "vt_total_us_states": q_vt_total_us_states,
     }
 
@@ -708,6 +736,11 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_dups": SQL_FINGERPRINT,
         "cosine_near_dup": SQL_COSINE_NEAR_DUP,
         "event_windows": SQL_EVENT_WINDOWS,
-        # image_stats: binary decode, not SQL-expressible -> rows-only
+        # image_stats / ann_lsh_topk: binary decode / seeded hyperplanes,
+        # not SQL-expressible -> rows-only checks
+        "salted_cell_counts": (
+            f"SELECT {_sql_cells(7)} AS cell, count(*) AS n_points "
+            f"FROM ({_SQL_POINTS}) GROUP BY 1"
+        ),
         "vt_total_us_states": SQL_VT_TOTAL,
     }
