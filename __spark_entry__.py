@@ -447,7 +447,7 @@ def q_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (exact all-pairs at oracle
     scale; the LSH/blocked variant is the scale path): round-6 cosine,
-    threshold 0.62, deterministic pair order."""
+    threshold 0.45, deterministic pair order."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id",
         F.expr("transform(embedding, v -> cast(v as double))").alias("emb"),
@@ -463,7 +463,7 @@ def q_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
         .withColumn("cos", F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 6))
-        .filter(F.col("cos") >= 0.62)
+        .filter(F.col("cos") >= 0.45)
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
@@ -481,7 +481,7 @@ SQL_COSINE_NEAR_DUP = (
     "/ (a.nrm * b.nrm), 6) AS cos "
     "FROM d a JOIN d b ON a.vec_id < b.vec_id "
     "WHERE round(list_sum(list_transform(list_zip(a.emb, b.emb), p -> p[1] * p[2])) "
-    "/ (a.nrm * b.nrm), 6) >= 0.62"
+    "/ (a.nrm * b.nrm), 6) >= 0.45"
 )
 
 

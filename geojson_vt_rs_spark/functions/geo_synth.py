@@ -17,7 +17,9 @@ METROS = [(-74.006, 40.713), (139.692, 35.690), (2.352, 48.857)]
 
 
 def synth_lon(key: Column) -> Column:
-    spread = (key % F.lit(360000)).cast("double") / F.lit(1000.0) - F.lit(180.0)
+    spread = ((key * F.lit(2654435761)) % F.lit(360000)).cast("double") / F.lit(
+        1000.0
+    ) - F.lit(180.0)
     m = key % F.lit(10)
     jitter = (key % F.lit(97)).cast("double") / F.lit(10000.0)
     return (
@@ -43,7 +45,7 @@ def synth_lat(key: Column) -> Column:
 
 
 def sql_synth_lon(key: str) -> str:
-    spread = f"(CAST(({key}) % 360000 AS DOUBLE) / 1000.0 - 180.0)"
+    spread = f"(CAST((({key}) * 2654435761) % 360000 AS DOUBLE) / 1000.0 - 180.0)"
     jitter = f"(CAST(({key}) % 97 AS DOUBLE) / 10000.0)"
     return (
         f"(CASE ({key}) % 10 "
