@@ -70,6 +70,13 @@ class CheckpointedPyramid:
       leaves/z=*/         retained leaf source features (drill-down input)
       frontier/level_N/   the N-th level's input features (resume point)
       _manifests/level_N.json  lineage: row counts per kind, wall time
+
+    Write semantics are at-least-once per level: the manifest is the
+    commit marker, so a crash between a level's parquet appends and its
+    manifest re-appends that level's rows on resume.  Readers that need
+    exactly-once should dedupe on (z,x,y,feature_idx) — or run each
+    level's writes into a staging dir and rename, which Iceberg
+    snapshot commits would subsume in the production shape.
     """
 
     def __init__(self, spark: SparkSession, options: Optional[Options] = None):
@@ -79,21 +86,29 @@ class CheckpointedPyramid:
     def run(self, features_df: DataFrame, out_dir: str) -> dict:
         o = self.options
         spark = self.spark
-        kernel = _level_kernel(o, 0, 0, 0)
+        kernel = _level_kernel(o, 0, 0, 0, force_subtree=True)
         os.makedirs(out_dir, exist_ok=True)
+
+        from geojson_vt_rs_spark.operators.schema import TILED_FEATURE_SCHEMA
 
         level = 0
         frontier = None
+        resumed_pending: list = []
         # resume: find the first level without a manifest
         while _read_manifest(out_dir, f"level_{level}") is not None:
             level += 1
         if level > 0:
             m = _read_manifest(out_dir, f"level_{level - 1}")
+            resumed_pending = [tuple(c) for c in m.get("pending_children", [])]
             if m["n_children"] == 0:
-                return self.summary(out_dir)
-            frontier = spark.read.parquet(
-                os.path.join(out_dir, "frontier", f"level_{level}")
-            )
+                if not resumed_pending:
+                    return self.summary(out_dir)
+                # all children were empty: one recording turn remains
+                frontier = spark.createDataFrame([], TILED_FEATURE_SCHEMA)
+            else:
+                frontier = spark.read.parquet(
+                    os.path.join(out_dir, "frontier", f"level_{level}")
+                )
         else:
             z2 = 1 << o.max_zoom
             converted = convert_stage(
@@ -108,56 +123,193 @@ class CheckpointedPyramid:
                 F.lit(0).alias("z"), F.lit(0).alias("x"), F.lit(0).alias("y"), "*"
             )
 
+        from pyspark.sql import Window
+
+        from geojson_vt_rs_spark.operators.pipeline import render_stage, split_stage
+        from geojson_vt_rs_spark.plans.pyramid import fuse_bound
+
+        tiles_path = os.path.join(out_dir, "tiles")
+        leaves_path = os.path.join(out_dir, "leaves")
+        fuse_max = fuse_bound(o, 0)
+        pending_children: list = resumed_pending
+
+        def _decide(z, x, y, tnp):
+            if z == o.index_max_zoom or tnp <= o.index_max_points:
+                return "leaf"
+            return "fuse" if tnp <= fuse_max else "split"
+
         while True:
             t0 = time.time()
-            fused = (
+            frontier = frontier.persist()
+            np_pdf = (
                 frontier.groupBy("z", "x", "y")
-                .applyInPandas(kernel, schema=STEP_SCHEMA)
-                .persist()
+                .agg(F.sum("num_points").alias("tnp"))
+                .toPandas()
             )
-            counts = {
-                int(r["row_kind"]): int(r["n"])
-                for r in fused.groupBy("row_kind")
-                .agg(F.count(F.lit(1)).alias("n"))
-                .collect()
-            }
-            fused.filter(F.col("row_kind").isin(K_TILE, K_STATS)).drop(
-                *[f.name for f in STEP_SCHEMA.fields if f.name.startswith("part_")]
+            observed = {(int(r.z), int(r.x), int(r.y)) for r in np_pdf.itertuples()}
+            decisions = [
+                (int(r.z), int(r.x), int(r.y), _decide(int(r.z), int(r.x), int(r.y), int(r.tnp)), int(r.tnp))
+                for r in np_pdf.itertuples(index=False)
+            ]
+            tiles_schema = (
+                "z int, x int, y int, feature_idx int, type int, kind int, "
+                "geometry_json string, tags_json string, tile_id_str string, "
+                "tile_id_num long, tile_num_points int, "
+                "tile_num_simplified int, action string"
+            )
+            # empty children of the previous level's split parents
+            empty_rows = [
+                (z, x, y, -1, None, None, None, None, None, None, 0, 0, "empty")
+                for z, x, y in pending_children
+                if (z, x, y) not in observed
+            ]
+            if np_pdf.empty:
+                if empty_rows:
+                    spark.createDataFrame(empty_rows, tiles_schema).write.mode(
+                        "append"
+                    ).partitionBy("z").parquet(tiles_path)
+                _write_manifest(
+                    out_dir,
+                    f"level_{level}",
+                    dict(level=level, n_tiles=len(empty_rows),
+                         n_tile_feature_rows=0, n_leaf_feature_rows=0,
+                         n_children=0, pending_children=[],
+                         wall_sec=round(time.time() - t0, 3)),
+                )
+                frontier.unpersist()
+                return self.summary(out_dir)
+
+            ddf = spark.createDataFrame(
+                [(z, x, y, a) for z, x, y, a, _ in decisions],
+                "z int, x int, y int, action string",
+            )
+            fr = frontier.join(F.broadcast(ddf), ["z", "x", "y"]).persist()
+
+            # per-row render of non-fused tiles; feature_idx from the
+            # deterministic order key via a ranking window
+            w = Window.partitionBy("z", "x", "y").orderBy(
+                "world_copy", "feature_seq", "slice_path", "sub_idx"
+            )
+            rend = render_stage(
+                fr.filter(F.col("action") != "fuse").drop("action"), o
+            ).persist()
+            rend.filter(F.col("sub_idx") >= 0).withColumn(
+                "feature_idx", F.row_number().over(w) - 1
             ).select(
-                "z", "x", "y", "feature_idx", "type", "kind", "geometry_json",
-                "tags_json", "tile_id_str", "tile_id_num", "tile_num_points",
-                "tile_num_simplified", "action",
-            ).write.mode("append").partitionBy("z").parquet(
-                os.path.join(out_dir, "tiles")
+                "z", "x", "y", "feature_idx", "type", "kind",
+                "geometry_json", "tags_json",
+                F.col("id_str").alias("tile_id_str"),
+                F.col("id_num").alias("tile_id_num"),
+                F.lit(None).cast("int").alias("tile_num_points"),
+                F.lit(None).cast("int").alias("tile_num_simplified"),
+                F.lit("feature").alias("action"),
+            ).write.mode("append").partitionBy("z").parquet(tiles_path)
+            agg = (
+                rend.groupBy("z", "x", "y")
+                .agg(
+                    F.sum("n_emitted").alias("ns"),
+                    F.sum((F.col("sub_idx") >= 0).cast("long")).alias("nf"),
+                )
+                .toPandas()
             )
-            fused.filter(F.col("row_kind") == K_LEAF).select(*TILED_COLS).write.mode(
-                "append"
-            ).partitionBy("z").parquet(os.path.join(out_dir, "leaves"))
-            n_children = counts.get(K_CHILD, 0)
-            if n_children:
-                fused.filter(F.col("row_kind") == K_CHILD).select(
+            rend.unpersist()
+            frontier.unpersist()
+            ns_map = {
+                (int(r.z), int(r.x), int(r.y)): (int(r.ns), int(r.nf))
+                for r in agg.itertuples(index=False)
+            }
+            n_tile_rows = sum(v[1] for v in ns_map.values())
+            # per-tile stats rows (num_points from the agg, num_simplified
+            # from the render counters); fused roots get theirs from the
+            # subtree kernel's K_STATS rows instead
+            stats_rows = empty_rows + [
+                (z, x, y, -1, None, None, None, None, None, None, tnp,
+                 ns_map.get((z, x, y), (0, 0))[0], a)
+                for z, x, y, a, tnp in decisions
+                if a != "fuse"
+            ]
+            n_tiles = len(stats_rows)
+            if stats_rows:
+                spark.createDataFrame(stats_rows, tiles_schema).write.mode(
+                    "append"
+                ).partitionBy("z").parquet(tiles_path)
+
+            # fused subtrees (bounded groups)
+            has_fuse = any(a == "fuse" for _, _, _, a, _ in decisions)
+            if has_fuse:
+                step = (
+                    fr.filter(F.col("action") == "fuse")
+                    .drop("action")
+                    .groupBy("z", "x", "y")
+                    .applyInPandas(kernel, schema=STEP_SCHEMA)
+                    .persist()
+                )
+                step.filter(F.col("row_kind").isin(K_TILE, K_STATS)).select(
+                    "z", "x", "y", "feature_idx", "type", "kind",
+                    "geometry_json", "tags_json", "tile_id_str", "tile_id_num",
+                    "tile_num_points", "tile_num_simplified",
+                    F.coalesce(F.col("action"), F.lit("feature")).alias("action"),
+                ).write.mode("append").partitionBy("z").parquet(tiles_path)
+                step.filter(F.col("row_kind") == K_LEAF).select(
                     *TILED_COLS
-                ).write.mode("overwrite").parquet(
+                ).write.mode("append").partitionBy("z").parquet(leaves_path)
+                n_tiles += int(
+                    step.filter(F.col("row_kind") == K_STATS).count()
+                )
+                step.unpersist()
+
+            # leaf tiles retain source features
+            n_leaf = 0
+            if any(a == "leaf" for _, _, _, a, _ in decisions):
+                leaf_df = fr.filter(F.col("action") == "leaf").select(*TILED_COLS)
+                leaf_df.write.mode("append").partitionBy("z").parquet(leaves_path)
+                n_leaf = int(leaf_df.count())
+
+            split_parents = [
+                (z, x, y) for z, x, y, a, _ in decisions if a == "split"
+            ]
+            n_children = 0
+            if split_parents:
+                children = split_stage(
+                    fr.filter(F.col("action") == "split").drop("action"), o
+                )
+                children.write.mode("overwrite").parquet(
                     os.path.join(out_dir, "frontier", f"level_{level + 1}")
                 )
+                n_children = (
+                    spark.read.parquet(
+                        os.path.join(out_dir, "frontier", f"level_{level + 1}")
+                    ).count()
+                )
+            pending_children = [
+                (z + 1, 2 * x + dx, 2 * y + dy)
+                for z, x, y in split_parents
+                for dx in (0, 1)
+                for dy in (0, 1)
+            ]
             _write_manifest(
                 out_dir,
                 f"level_{level}",
                 dict(
                     level=level,
-                    n_tiles=counts.get(K_STATS, 0),
-                    n_tile_feature_rows=counts.get(K_TILE, 0),
-                    n_leaf_feature_rows=counts.get(K_LEAF, 0),
-                    n_children=n_children,
+                    n_tiles=n_tiles,
+                    n_tile_feature_rows=int(n_tile_rows),
+                    n_leaf_feature_rows=n_leaf,
+                    n_children=int(n_children),
+                    pending_children=pending_children,
                     wall_sec=round(time.time() - t0, 3),
                 ),
             )
-            fused.unpersist()
-            if not n_children:
+            fr.unpersist()
+            if not n_children and not pending_children:
                 return self.summary(out_dir)
-            frontier = spark.read.parquet(
-                os.path.join(out_dir, "frontier", f"level_{level + 1}")
-            )
+            if not n_children:
+                # all children empty: one more loop turn records them
+                frontier = spark.createDataFrame([], frontier.schema)
+            else:
+                frontier = spark.read.parquet(
+                    os.path.join(out_dir, "frontier", f"level_{level + 1}")
+                )
             level += 1
 
     def summary(self, out_dir: str) -> dict:
