@@ -78,7 +78,9 @@ class TileEmitter:
         self.num_simplified += len(xs)
         tx = _round_half_away((xs * self.z2 - self.x) * self.extent)
         ty = _round_half_away((ys * self.z2 - self.y) * self.extent)
-        return [[float(a), float(b)] for a, b in zip(tx, ty)]
+        # rounded values are exact whole floats; int64 coords serialize
+        # faster and compare numerically equal (fixtures hold ints too)
+        return np.stack([tx, ty], axis=1).astype(np.int64).tolist()
 
     # --- per-kind emitters ------------------------------------------------
     def _emit(self, tile_type, kind, geometry, tags, id_str, id_num):

@@ -9,8 +9,11 @@ one output feature per sub, tile.rs:286-297), so a single-level encoding
 loses nothing.
 
 Feature ids may be strings or numbers (tests.rs:92-98); both are kept in
-separate nullable fields.  Properties stay an opaque canonical JSON string
-to preserve number-vs-string typing through Arrow.
+separate nullable fields.  Known limitation: non-integer numeric ids
+(legal JSON, absent from every reference fixture and test) don't fit the
+int64 id_num field and are dropped; extend to a double field if such
+inputs ever matter.  Properties stay an opaque canonical JSON string to
+preserve number-vs-string typing through Arrow.
 """
 
 from __future__ import annotations
