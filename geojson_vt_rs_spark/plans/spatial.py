@@ -294,9 +294,23 @@ def mosaic_tiles(images_pts: DataFrame, zoom: int) -> DataFrame:
     so downstream verification (PSNR, caption equality) and checkpoint
     resume can audit every partition.
     """
+    # exact two-phase top-k per tile: phase 1 ranks within (tile, salt)
+    # and keeps <= SLOTS per salt (the union provably contains the global
+    # top-SLOTS), phase 2 ranks the <= SLOTS*n_salts survivors.  A single
+    # global window would sort a dense metro tile's ENTIRE row set in one
+    # partition; this bounds phase-2 partitions regardless of skew.
+    n_salts = 16
+    salted = images_pts.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col("image_id")), F.lit(n_salts))
+    )
+    w1 = Window.partitionBy("cx", "cy", "_salt").orderBy(F.col("image_id").asc())
+    survivors = (
+        salted.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= SLOTS)
+    )
     w = Window.partitionBy("cx", "cy").orderBy(F.col("image_id").asc())
     capped = (
-        images_pts.withColumn("slot", F.row_number().over(w) - 1)
+        survivors.withColumn("slot", F.row_number().over(w) - 1)
         .filter(F.col("slot") < SLOTS)
         .select("cx", "cy", "slot", "image_id", "bytes", "w", "h", "fmt")
     )
