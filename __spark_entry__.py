@@ -551,6 +551,30 @@ def q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex tokenization (letter runs / digit runs / single
+    punctuation — the pre-tokenizer shape of GPT-style BPE), ASCII-safe
+    so Java and RE2 regex semantics agree."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # Spark SQL string literals process backslash escapes; DuckDB's don't
+    pat = _BPE_PATTERN.replace("\\", "\\\\")
+    toks = F.size(F.expr(f"regexp_extract_all(text, '{pat}', 0)"))
+    return d.groupBy("lang").agg(
+        F.sum(toks.cast("long")).alias("bpe_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+SQL_BPE_TOKEN_STATS = (
+    "SELECT lang, "
+    f"sum(len(regexp_extract_all(text, '{_BPE_PATTERN}'))) AS bpe_tokens, "
+    "count(*) AS n_docs FROM documents GROUP BY 1"
+)
+
+
 def q_salted_cell_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe salted two-phase aggregation (hot metro cells): the
     oracle is the PLAIN group-by count — proving the salted plan computes
@@ -704,6 +728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_near_dup": q_cosine_near_dup,
         "event_windows": q_event_windows,
         "image_stats": q_image_stats,
+        "bpe_token_stats": q_bpe_token_stats,
         "salted_cell_counts": q_salted_cell_counts,
         "ann_lsh_topk": q_ann_lsh_topk,
         "vt_total_us_states": q_vt_total_us_states,
@@ -738,6 +763,7 @@ def oracle_sql() -> dict[str, str]:
         "event_windows": SQL_EVENT_WINDOWS,
         # image_stats / ann_lsh_topk: binary decode / seeded hyperplanes,
         # not SQL-expressible -> rows-only checks
+        "bpe_token_stats": SQL_BPE_TOKEN_STATS,
         "salted_cell_counts": (
             f"SELECT {_sql_cells(7)} AS cell, count(*) AS n_points "
             f"FROM ({_SQL_POINTS}) GROUP BY 1"

@@ -52,6 +52,74 @@ def with_lsh_bucket(
     return emb.mapInPandas(kernel, schema=out_schema)
 
 
+def with_ivf_cell(
+    emb: DataFrame,
+    centroids: list,  # list of (cid, vector)
+    vec_col: str = "embedding",
+    out: str = "ivf_cell",
+) -> DataFrame:
+    """IVF coarse quantizer: assign each vector to its nearest centroid
+    (cosine).  Centroids are data rows chosen deterministically (no
+    training step needed for a coarse index); one numpy matmul per
+    Arrow batch."""
+    C = np.stack([np.asarray(v, dtype=np.float64) for _, v in centroids])
+    C = C / np.linalg.norm(C, axis=1, keepdims=True)
+    cids = np.asarray([c for c, _ in centroids], dtype=np.int64)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+            sims = M @ C.T
+            pdf[out] = cids[np.argmax(sims, axis=1)]
+            yield pdf
+
+    out_schema = emb.withColumn(out, F.lit(0).cast("long")).schema
+    return emb.mapInPandas(kernel, schema=out_schema)
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_vec: list,
+    centroids: list,
+    k: int = 20,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-bucketed cosine top-k: probe the n_probe centroids nearest
+    the query, exact-rescore only their members (the scale path beside
+    lsh_topk; recall measured in tests/test_ann_salting.py)."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = float(np.linalg.norm(q))
+    C = np.stack([np.asarray(v, dtype=np.float64) for _, v in centroids])
+    C = C / np.linalg.norm(C, axis=1, keepdims=True)
+    cids = [c for c, _ in centroids]
+    sims = (C @ (q / qn))
+    probes = [cids[i] for i in np.argsort(-sims)[:n_probe]]
+
+    bucketed = with_ivf_cell(emb, centroids, vec_col=vec_col)
+    cand = bucketed.filter(F.col("ivf_cell").isin([int(p) for p in probes]))
+
+    d = cand.select(
+        id_col,
+        F.expr(f"transform({vec_col}, v -> cast(v as double))").alias("emb"),
+    ).withColumn("q", F.array(*[F.lit(float(v)) for v in query_vec]))
+    dot = F.expr(
+        "aggregate(zip_with(emb, q, (a, b) -> a * b), 0D, (acc, v) -> acc + v)"
+    )
+    nrm = F.expr(
+        "sqrt(aggregate(transform(emb, a -> a * a), 0D, (acc, v) -> acc + v))"
+    )
+    scored = d.withColumn("cos", dot / (nrm * F.lit(qn)))
+    w = Window.orderBy(F.col("cos").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(id_col, "rnk", "cos")
+    )
+
+
 def lsh_topk(
     emb: DataFrame,
     query_vec: list,
