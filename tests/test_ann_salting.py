@@ -65,3 +65,33 @@ def test_salted_count_matches_plain(spark):
         ).collect()
     }
     assert plain_sum == salted_s
+
+
+def test_lsh_ivf_partitioning_invariance(spark):
+    """Bucket/cell assignments are pure per-row functions — identical
+    under any repartitioning (no batch-boundary effects)."""
+    from geojson_vt_rs_spark.operators.ann import with_ivf_cell, with_lsh_bucket
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = [
+        (int(r["vec_id"]), [float(v) for v in r["embedding"]])
+        for r in emb.filter("vec_id < 16").collect()
+    ]
+    a = (
+        with_lsh_bucket(emb.repartition(1), 64, bits=8)
+        .select("vec_id", "bucket").toPandas().sort_values("vec_id", ignore_index=True)
+    )
+    b = (
+        with_lsh_bucket(emb.repartition(13), 64, bits=8)
+        .select("vec_id", "bucket").toPandas().sort_values("vec_id", ignore_index=True)
+    )
+    assert (a["bucket"] == b["bucket"]).all()
+    c = (
+        with_ivf_cell(emb.repartition(1), cents)
+        .select("vec_id", "ivf_cell").toPandas().sort_values("vec_id", ignore_index=True)
+    )
+    d = (
+        with_ivf_cell(emb.repartition(7), cents)
+        .select("vec_id", "ivf_cell").toPandas().sort_values("vec_id", ignore_index=True)
+    )
+    assert (c["ivf_cell"] == d["ivf_cell"]).all()

@@ -140,3 +140,58 @@ def test_checkpointed_get_tile_drilldown(spark, tmp_path):
     # feature-less region -> empty tile
     empty = cp.get_tile(out, 11, 800, 400).toPandas()
     assert len(empty) == 0
+
+
+def test_checkpointed_pyramid_golden_corpus(spark, tmp_path):
+    """The PARQUET write path must reproduce the us-states golden corpus
+    exactly: read every tile back from the store and compare to the
+    fixture (same check the in-memory index passes)."""
+    import json as _json
+
+    import pyspark.sql.functions as F
+
+    from conftest import fixture_path, parse_jsontiles
+
+    out = str(tmp_path / "pyrg")
+    feats = read_geojson_features(spark, fixture_path("us-states.json"))
+    cp = CheckpointedPyramid(
+        spark, Options(max_zoom=14, index_max_zoom=7, index_max_points=200)
+    )
+    s = cp.run(feats, out)
+    expected = parse_jsontiles(fixture_path("us-states-tiles.json"))
+
+    all_rows = spark.read.parquet(os.path.join(out, "tiles")).toPandas()
+    # every tile (incl. feature-less ones — the fixture has empty tiles
+    # like z4-3-4) appears via its stats row
+    actual = {
+        f"z{int(r.z)}-{int(r.x)}-{int(r.y)}": []
+        for r in all_rows[all_rows.feature_idx < 0].itertuples(index=False)
+    }
+    rows = all_rows[all_rows.feature_idx >= 0]
+    from geojson_vt_rs_spark.core.geom import GEOM_MULTIPOLYGON
+
+    for (z, x, y), grp in rows.groupby(["z", "x", "y"]):
+        feats_c = []
+        for r in grp.sort_values("feature_idx").itertuples(index=False):
+            geom = _json.loads(r.geometry_json)
+            if int(r.kind) == GEOM_MULTIPOLYGON:
+                geom = [ring for poly in geom for ring in poly]
+            if int(r.type) == 1:
+                geom = [[float(p[0]), float(p[1])] for p in geom]
+            else:
+                geom = [[[float(p[0]), float(p[1])] for p in part] for part in geom]
+            tags = None if r.tags_json is None else _json.loads(r.tags_json)
+            feats_c.append(
+                (int(r.type), geom, tags,
+                 r.tile_id_str if isinstance(r.tile_id_str, str) else None,
+                 None)
+            )
+        actual[f"z{int(z)}-{int(x)}-{int(y)}"] = feats_c
+
+    # expected corpus covers only non-empty tiles
+    assert set(expected.keys()) <= set(actual.keys())
+    for key in expected:
+        assert actual[key] == expected[key], f"tile {key}"
+    # tiles absent from the fixture must be feature-less in the store
+    for key in set(actual.keys()) - set(expected.keys()):
+        assert actual[key] == [], key
