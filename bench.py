@@ -104,6 +104,25 @@ def run_graft_images(spark, n=N_IMAGES, polys=None, centers=None, cpus=None):
     return dict(rows=n, pip=n_pip, knn=n_knn, mosaic_tiles=n_tiles)
 
 
+def run_vt_countries_single_node():
+    """The reference's own benchmark shape (benches/benchmark.rs:14-32):
+    GenerateTileIndex over data/countries.geojson, index_max_zoom=7 /
+    index_max_points=200 — on our single-node execution path (the same
+    numpy kernels Spark runs in-task).  Returns (tiles, tiles_per_sec)."""
+    from geojson_vt_rs_spark.config import Options
+    from geojson_vt_rs_spark.core.tiler import GeoJSONVT
+    from geojson_vt_rs_spark.sources.geojson import load_geojson_file
+
+    feats = load_geojson_file("/root/reference/data/countries.geojson")
+    GeoJSONVT(feats, Options(index_max_zoom=7, index_max_points=200))  # warm
+    t0 = time.time()
+    n = 3
+    for _ in range(n):
+        idx = GeoJSONVT(feats, Options(index_max_zoom=7, index_max_points=200))
+    dt = (time.time() - t0) / n
+    return idx.total, round(idx.total / dt, 1)
+
+
 def _run_headline(spark, sf_dir):
     import __spark_entry__ as em
 
@@ -162,6 +181,9 @@ def main():
     out["vt_total_tiles"] = vt_total
     out["graft_counts"] = g
     out["images_rows_per_sec"] = round(g["rows"] / timings["graft_images"], 1)
+    n_tiles, tps = run_vt_countries_single_node()
+    out["countries_single_node_tiles"] = n_tiles
+    out["countries_single_node_tiles_per_sec"] = tps
     spark.stop()
 
     if os.environ.get("SPARK_GRAFT_SCALING") == "1":
