@@ -23,6 +23,18 @@ def get_spark(
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = max(cpus, 8)
+    # executor Python workers don't inherit the driver's sys.path — make
+    # the package importable regardless of the launch cwd (set BEFORE the
+    # JVM starts so local-mode workers inherit it; spark-submit users
+    # pass --py-files instead)
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    prev = os.environ.get("PYTHONPATH", "")
+    if repo_root not in prev.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            repo_root + (os.pathsep + prev if prev else "")
+        )
     b = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
