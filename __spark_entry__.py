@@ -190,9 +190,10 @@ def q_wrap_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_WRAP_COPIES = (
     "SELECT "
-    "sum(CASE WHEN mx >= -1.015625 AND mx <= 0.015625 THEN 1 ELSE 0 END) AS left_copy, "
-    "sum(CASE WHEN mx >= -0.015625 AND mx <= 1.015625 THEN 1 ELSE 0 END) AS center_copy, "
-    "sum(CASE WHEN mx >= 0.984375 AND mx <= 2.015625 THEN 1 ELSE 0 END) AS right_copy "
+    # CAST: DuckDB sum(BIGINT) -> HUGEINT; Spark -> BIGINT (hash parity)
+    "CAST(sum(CASE WHEN mx >= -1.015625 AND mx <= 0.015625 THEN 1 ELSE 0 END) AS BIGINT) AS left_copy, "
+    "CAST(sum(CASE WHEN mx >= -0.015625 AND mx <= 1.015625 THEN 1 ELSE 0 END) AS BIGINT) AS center_copy, "
+    "CAST(sum(CASE WHEN mx >= 0.984375 AND mx <= 2.015625 THEN 1 ELSE 0 END) AS BIGINT) AS right_copy "
     f"FROM (SELECT {sql_mercator_x('lon')} AS mx FROM ({_SQL_POINTS}))"
 )
 
@@ -327,8 +328,8 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_TOKEN_STATS = (
     "SELECT source, "
-    "sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS total_tokens, "
-    "sum(length(text)) AS total_chars, count(*) AS n_docs "
+    "CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS total_tokens, "
+    "CAST(sum(length(text)) AS BIGINT) AS total_chars, count(*) AS n_docs "
     "FROM documents GROUP BY 1"
 )
 
@@ -570,7 +571,7 @@ def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_BPE_TOKEN_STATS = (
     "SELECT lang, "
-    f"sum(len(regexp_extract_all(text, '{_BPE_PATTERN}'))) AS bpe_tokens, "
+    f"CAST(sum(len(regexp_extract_all(text, '{_BPE_PATTERN}'))) AS BIGINT) AS bpe_tokens, "
     "count(*) AS n_docs FROM documents GROUP BY 1"
 )
 
@@ -653,8 +654,9 @@ def _sql_quality() -> str:
 
     e = duck_text_features_exprs()
     return (
-        "SELECT source, sum(n_tokens) AS sum_tokens, sum(n_stop) AS sum_stop, "
-        "sum(n_punct) AS sum_punct, "
+        "SELECT source, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens, "
+        "CAST(sum(n_stop) AS BIGINT) AS sum_stop, "
+        "CAST(sum(n_punct) AS BIGINT) AS sum_punct, "
         "CAST(sum(n_stop) AS DOUBLE) / CAST(sum(n_tokens) AS DOUBLE) AS stop_ratio, "
         "CAST(sum(n_punct) AS DOUBLE) / CAST(sum(n_chars) AS DOUBLE) AS punct_ratio "
         "FROM ("

@@ -35,6 +35,7 @@ from geojson_vt_rs_spark.operators.schema import (
     FEATURE_SCHEMA,
     TILE_ROW_SCHEMA,
     TILED_FEATURE_SCHEMA,
+    create_feature_df,
     feature_to_row,
     features_to_pdf,
     pdf_to_features,
@@ -54,7 +55,8 @@ def read_geojson_features(spark: SparkSession, path_or_text) -> DataFrame:
         else load_geojson(path_or_text)
     )
     pdf = features_to_pdf(feats)
-    return spark.createDataFrame(pdf, schema=FEATURE_SCHEMA)
+    # works in sessions without Arrow (driver harness) — see sanitize_pdf
+    return create_feature_df(spark, pdf, FEATURE_SCHEMA)
 
 
 def convert_stage(df: DataFrame, tolerance: float, generate_id: bool) -> DataFrame:

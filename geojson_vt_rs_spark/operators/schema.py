@@ -169,6 +169,54 @@ def features_to_pdf(features: list, extra: Optional[dict] = None) -> pd.DataFram
 _F8_COLS = ("xs", "ys", "zs", "part_dist", "part_seg_start", "part_seg_end",
             "part_area")
 
+_ARRAY_COLS = frozenset(
+    f.name for f in FEATURE_SCHEMA.fields if isinstance(f.dataType, T.ArrayType)
+)
+
+
+def _cell_to_list(v):
+    if v is None or (isinstance(v, float) and np.isnan(v)):
+        return None
+    if isinstance(v, np.ndarray):
+        return v.tolist()
+    if isinstance(v, list):
+        return v
+    return list(v)
+
+
+_INT_TYPES = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+
+
+def sanitize_pdf(pdf: pd.DataFrame, schema: Optional[T.StructType] = None) -> pd.DataFrame:
+    """Make a driver-side pandas frame acceptable to the NON-Arrow
+    ``createDataFrame`` verifier.
+
+    PySpark's non-Arrow path type-verifies every element and rejects
+    (a) ``numpy.float64`` inside an ``array<double>`` cell and (b) the
+    float NaN that pandas uses for nulls in upcast int/string columns.
+    The engine's own sessions enable Arrow, but external sessions (the
+    driver harness) may not — sanitize before any driver-side
+    ``createDataFrame``.  Worker-side mapInPandas output always goes
+    through Arrow and keeps numpy (fast path).
+    """
+    out = pdf.copy(deep=False)
+    types = {f.name: f.dataType for f in schema.fields} if schema is not None else {}
+    for col in out.columns:
+        dt = types.get(col)
+        if col in _ARRAY_COLS or isinstance(dt, T.ArrayType):
+            out[col] = [_cell_to_list(v) for v in out[col]]
+        elif isinstance(dt, _INT_TYPES):
+            # pandas upcasts nullable ints to float64: NaN -> None, 5.0 -> 5
+            out[col] = [None if pd.isna(v) else int(v) for v in out[col]]
+        elif isinstance(dt, T.StringType):
+            out[col] = [v if isinstance(v, str) else None for v in out[col]]
+    return out
+
+
+def create_feature_df(spark, pdf: pd.DataFrame, schema):
+    """Driver-side pandas -> DataFrame that works with or without Arrow."""
+    return spark.createDataFrame(sanitize_pdf(pdf, schema), schema=schema)
+
 
 def pdf_to_features(pdf: pd.DataFrame) -> Iterator[VtFeature]:
     """Columnar fast path: index numpy object arrays directly instead of

@@ -89,7 +89,10 @@ class CheckpointedPyramid:
         kernel = _level_kernel(o, 0, 0, 0, force_subtree=True)
         os.makedirs(out_dir, exist_ok=True)
 
-        from geojson_vt_rs_spark.operators.schema import TILED_FEATURE_SCHEMA
+        from geojson_vt_rs_spark.operators.schema import (
+    TILED_FEATURE_SCHEMA,
+    create_feature_df,
+)
 
         level = 0
         frontier = None
@@ -421,8 +424,8 @@ class CheckpointedPyramid:
                 "append"
             ).partitionBy("z").parquet(os.path.join(out_dir, "tiles"))
         for tid, pdf in drill.leaf_features.items():
-            self.spark.createDataFrame(
-                pdf[TILED_COLS], TILED_FEATURE_SCHEMA
+            create_feature_df(
+                self.spark, pdf[TILED_COLS], TILED_FEATURE_SCHEMA
             ).write.mode("append").partitionBy("z").parquet(leaves_path)
         return self.read_tile(out_dir, z, x, y)
 

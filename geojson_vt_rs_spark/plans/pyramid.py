@@ -48,6 +48,7 @@ from geojson_vt_rs_spark.operators.pipeline import convert_stage, wrap_stage
 from geojson_vt_rs_spark.operators.schema import (
     FEATURE_FIELDS,
     TILED_FEATURE_SCHEMA,
+    create_feature_df,
     feature_to_row,
     pdf_to_features,
 )
@@ -553,7 +554,9 @@ class SparkGeoJSONVT:
             if self.find_parent(z, x, y) is None:
                 raise LookupError("Parent tile not found")
             return EMPTY_TILE
-        frontier = self.spark.createDataFrame(leaf[TILED_COLS], TILED_FEATURE_SCHEMA)
+        frontier = create_feature_df(
+            self.spark, leaf[TILED_COLS], TILED_FEATURE_SCHEMA
+        )
         self._run(frontier, pz, px, py, z, x, y)
         if tid in self.tiles:
             return self.tiles[tid]
