@@ -353,27 +353,13 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: block on the 8-bit prefix, keep pairs with
-    hamming distance <= 3 (bit_count of xor, JVM-side)."""
-    from geojson_vt_rs_spark.operators.text_dedup import with_simhash
+    """ALL SimHash pairs with hamming <= 3 via pigeonhole multi-band
+    blocking (4 x 4-bit band equi-joins, union, distinct) — complete and
+    scale-safe; the oracle is the exact all-pairs filter."""
+    from geojson_vt_rs_spark.operators.text_dedup import simhash_near_pairs
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    s = with_simhash(docs).select("doc_id", "simhash")
-    a, b = s.alias("a"), s.alias("b")
-    blk = F.shiftright(F.col("a.simhash"), 8) == F.shiftright(F.col("b.simhash"), 8)
-    return (
-        a.join(b, blk & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .withColumn(
-            "hamming",
-            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))),
-        )
-        .filter(F.col("hamming") <= 3)
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("hamming").cast("long").alias("hamming"),
-        )
-    )
+    return simhash_near_pairs(docs, hamming_max=3)
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -446,44 +432,25 @@ def q_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (exact all-pairs at oracle
-    scale; the LSH/blocked variant is the scale path): round-6 cosine,
-    threshold 0.45, deterministic pair order."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
-        "vec_id",
-        F.expr("transform(embedding, v -> cast(v as double))").alias("emb"),
-    )
-    nrm = F.expr(
-        "sqrt(aggregate(transform(emb, a -> a * a), 0D, (acc, v) -> acc + v))"
-    )
-    d = emb.withColumn("nrm", nrm)
-    a, b = d.alias("a"), d.alias("b")
-    dot = F.expr(
-        "aggregate(zip_with(a.emb, b.emb, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
-    )
-    return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .withColumn("cos", F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 6))
-        .filter(F.col("cos") >= 0.45)
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            "cos",
-        )
+    """Embedding-cosine near-duplicate pairs, LSH-blocked (the scale
+    path): 16-bit sketch hamming <= 4 via pigeonhole band equi-joins,
+    exact round-6 cosine rescore at threshold 0.45.  No all-pairs
+    BroadcastNestedLoopJoin anywhere in the plan; the exact all-pairs
+    variant is kept test-only (tests/test_ann_salting.py recall check)."""
+    from geojson_vt_rs_spark.operators.ann import cosine_near_dup_blocked
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_near_dup_blocked(
+        emb, dim=64, threshold=0.45, bits=16, hamming_max=4
     )
 
 
-SQL_COSINE_NEAR_DUP = (
-    "WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS emb, "
-    "sqrt(list_sum(list_transform(embedding::DOUBLE[], v -> v * v))) AS nrm "
-    "FROM embeddings) "
-    "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
-    "round(list_sum(list_transform(list_zip(a.emb, b.emb), p -> p[1] * p[2])) "
-    "/ (a.nrm * b.nrm), 6) AS cos "
-    "FROM d a JOIN d b ON a.vec_id < b.vec_id "
-    "WHERE round(list_sum(list_transform(list_zip(a.emb, b.emb), p -> p[1] * p[2])) "
-    "/ (a.nrm * b.nrm), 6) >= 0.45"
-)
+def _sql_cosine_near_dup() -> str:
+    from geojson_vt_rs_spark.operators.ann import duck_cosine_near_dup_sql
+
+    return duck_cosine_near_dup_sql(
+        dim=64, threshold=0.45, bits=16, hamming_max=4
+    )
 
 
 def q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -552,6 +519,48 @@ def q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_N_PHASH_IMAGES = 512
+
+
+def q_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs by perceptual hash: 64-bit phash,
+    hamming <= 1, via two 32-bit pigeonhole band equi-joins (complete;
+    no all-pairs join).  The image table is the deterministic distributed
+    synthesis (input_hint shape), so the oracle inlines the same phash
+    values as SQL literals."""
+    from geojson_vt_rs_spark.operators.ann import hamming_near_pairs
+    from geojson_vt_rs_spark.sources.images import generate_images
+
+    imgs = generate_images(spark, _N_PHASH_IMAGES).select("image_id", "phash")
+    return hamming_near_pairs(imgs, "image_id", "phash", 64, 1).select(
+        F.col("id_a").alias("img_a"),
+        F.col("id_b").alias("img_b"),
+        "hamming",
+    )
+
+
+def _sql_phash_near_dups() -> str:
+    # phash is a pure function of the row index — inline the same values
+    # the distributed generator computes (no pixels needed oracle-side)
+    from geojson_vt_rs_spark.sources.images import (
+        _SIZES,
+        compute_phash,
+        make_pixels,
+    )
+
+    vals = ", ".join(
+        f"('img{i:08d}', CAST({compute_phash(make_pixels(i, _SIZES[i % 3], _SIZES[(i // 3) % 3]))} AS BIGINT))"
+        for i in range(_N_PHASH_IMAGES)
+    )
+    return (
+        f"WITH p(image_id, phash) AS (VALUES {vals}) "
+        "SELECT a.image_id AS img_a, b.image_id AS img_b, "
+        "CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming "
+        "FROM p a JOIN p b ON a.image_id < b.image_id "
+        "WHERE bit_count(xor(a.phash, b.phash)) <= 1"
+    )
+
+
 _BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
@@ -591,15 +600,23 @@ def q_salted_cell_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN scale path (random-hyperplane multi-probe +
-    exact rescore).  Hyperplanes are seeded numpy — not SQL-expressible,
-    so the driver records rows-only; recall vs brute force is asserted in
+    """LSH-bucketed ANN scale path (random-hyperplane multi-probe via a
+    hamming-ball bit_count filter + exact rescore).  The hyperplanes are a
+    pure function of (seed, dim) inlined as constants into BOTH engines,
+    every float op a sequential left fold — fully oracle-checkable
+    (duck_lsh_topk_sql); recall vs brute force asserted in
     tests/test_ann_salting.py."""
     from geojson_vt_rs_spark.operators.ann import lsh_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qv = [float(v) for v in emb.filter("vec_id = 0").collect()[0]["embedding"]]
     return lsh_topk(emb, qv, k=10, bits=6, probe_radius=2)
+
+
+def _sql_ann_lsh_topk() -> str:
+    from geojson_vt_rs_spark.operators.ann import duck_lsh_topk_sql
+
+    return duck_lsh_topk_sql(dim=64, k=10, bits=6, probe_radius=2)
 
 
 # ---------------------------------------------- end-to-end engine (no SQL)
@@ -673,12 +690,13 @@ def _sql_simhash() -> str:
 
 
 def _sql_simhash_near_pairs() -> str:
+    # exact all-pairs filter (oracle scale); the Spark side reaches the
+    # same set through complete pigeonhole band blocking
     return (
         f"WITH s AS ({_sql_simhash()}) "
         "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
         "CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming "
-        "FROM s a JOIN s b ON (a.simhash >> 8) = (b.simhash >> 8) "
-        "AND a.doc_id < b.doc_id "
+        "FROM s a JOIN s b ON a.doc_id < b.doc_id "
         "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"
     )
 
@@ -733,6 +751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_stats": q_bpe_token_stats,
         "salted_cell_counts": q_salted_cell_counts,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "phash_near_dups": q_phash_near_dups,
         "vt_total_us_states": q_vt_total_us_states,
     }
 
@@ -761,14 +780,15 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _sql_lang_id(),
         "quality_scores": _sql_quality(),
         "fingerprint_dups": SQL_FINGERPRINT,
-        "cosine_near_dup": SQL_COSINE_NEAR_DUP,
+        "cosine_near_dup": _sql_cosine_near_dup(),
         "event_windows": SQL_EVENT_WINDOWS,
-        # image_stats / ann_lsh_topk: binary decode / seeded hyperplanes,
-        # not SQL-expressible -> rows-only checks
+        # image_stats: binary decode, not SQL-expressible -> rows-only
+        "ann_lsh_topk": _sql_ann_lsh_topk(),
         "bpe_token_stats": SQL_BPE_TOKEN_STATS,
         "salted_cell_counts": (
             f"SELECT {_sql_cells(7)} AS cell, count(*) AS n_points "
             f"FROM ({_SQL_POINTS}) GROUP BY 1"
         ),
+        "phash_near_dups": _sql_phash_near_dups(),
         "vt_total_us_states": SQL_VT_TOTAL,
     }

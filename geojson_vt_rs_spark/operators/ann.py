@@ -13,8 +13,9 @@ IVF or LSH-bucketed variant as the scale path"):
                      measured recall (tests/test_ann.py).
 
 Hyperplanes are a pure function of (seed, dim) -> identical on every
-executor, no fitting step, resumable.  The sign-bit computation is a
-vectorized numpy matmul inside one Arrow batch pass.
+executor, no fitting step, resumable.  The sign-bit computation is pure
+Spark SQL (sequential-fold dots against inlined constants, whole-stage
+codegen) so every pipeline here is byte-identical to its DuckDB twin.
 """
 
 from __future__ import annotations
@@ -23,7 +24,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -32,24 +33,134 @@ def _hyperplanes(dim: int, bits: int, seed: int = 42) -> np.ndarray:
     return rng.standard_normal((dim, bits))
 
 
+def ranked_topk(scored: DataFrame, id_col: str, k: int) -> DataFrame:
+    """Distributed top-k with deterministic rank and NO window operator.
+
+    orderBy().limit(k) compiles to TakeOrderedAndProject — each partition
+    keeps its local top k, the driver merges — so NO global shuffle of the
+    scored table into one partition (the round-1 Window.orderBy scale bug:
+    an unpartitioned WindowExec pulls the whole scored table into a single
+    task).  Rank is then derived JVM-side over only the k surviving rows:
+    sort_array over (−cos, id) structs == (cos desc, id asc), posexplode
+    position + 1 == row_number.  No WindowExec in the plan at all.
+    """
+    order = [F.col("cos").desc(), F.col(id_col).asc()]
+    top = scored.orderBy(*order).limit(k)
+    arr = top.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    (-F.col("cos")).alias("neg_cos"),
+                    F.col(id_col).alias("id"),
+                    F.col("cos").alias("cos"),
+                )
+            )
+        ).alias("arr")
+    )
+    return arr.select(F.posexplode("arr").alias("pos", "r")).select(
+        F.col("r.id").alias(id_col),
+        (F.col("pos") + 1).alias("rnk"),
+        F.col("r.cos").alias("cos"),
+    )
+
+
+def _dot_sql(vec_expr: str, const_col: str) -> str:
+    """Sequential left-fold dot product — bit-identical to DuckDB's
+    list_sum(list_transform(list_zip(...))) and to a Python loop fold."""
+    return (
+        f"aggregate(zip_with({vec_expr}, {const_col}, (a, b) -> a * b), "
+        "0D, (acc, v) -> acc + v)"
+    )
+
+
 def with_lsh_bucket(
     emb: DataFrame, dim: int, bits: int = 8, seed: int = 42,
     vec_col: str = "embedding", out: str = "bucket",
 ) -> DataFrame:
-    """Add the random-hyperplane sign-bucket id (one matmul per batch)."""
+    """Add the random-hyperplane sign-bucket id.
+
+    Pure JVM SQL expressions (whole-stage codegen, no Python worker): one
+    sequential-fold dot per bit against an inlined hyperplane constant
+    array — the exact same fold DuckDB's list_sum performs, so the bucket
+    ids are oracle-checkable byte-for-byte (duck_lsh_bucket_expr)."""
     H = _hyperplanes(dim, bits, seed)
-    weights = (1 << np.arange(bits)).astype(np.int64)
-    fields = [f.name for f in emb.schema.fields]
+    d = emb
+    vec_d = f"transform({vec_col}, v -> cast(v as double))"
+    terms = []
+    for i in range(bits):
+        hcol = f"__h{i}"
+        d = d.withColumn(hcol, F.array(*[F.lit(float(v)) for v in H[:, i]]))
+        terms.append(
+            f"(CASE WHEN {_dot_sql(vec_d, hcol)} > 0D "
+            f"THEN {1 << i}L ELSE 0L END)"
+        )
+    return d.withColumn(out, F.expr(" + ".join(terms))).drop(
+        *[f"__h{i}" for i in range(bits)]
+    )
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            signs = (M @ H) > 0
-            pdf[out] = (signs @ weights).astype(np.int64)
-            yield pdf
 
-    out_schema = emb.withColumn(out, F.lit(0).cast("long")).schema
-    return emb.mapInPandas(kernel, schema=out_schema)
+def query_bucket(query_vec: list, bits: int, seed: int = 42) -> int:
+    """Driver-side bucket of the query vector via the SAME sequential
+    left-fold the SQL expressions use (numpy matmul would reorder the
+    additions and can flip a borderline sign bit)."""
+    H = _hyperplanes(len(query_vec), bits, seed)
+    b = 0
+    for i in range(bits):
+        acc = 0.0
+        for a, h in zip(query_vec, H[:, i]):
+            acc += float(a) * float(h)
+        if acc > 0.0:
+            b |= 1 << i
+    return b
+
+
+def duck_lsh_topk_sql(
+    dim: int,
+    k: int,
+    bits: int,
+    probe_radius: int,
+    seed: int = 42,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: int = 0,
+) -> str:
+    """DuckDB twin of lsh_topk with the query vector taken from the table
+    row ``{id_col} = query_id`` — the whole multi-probe + rescore pipeline
+    in ANSI SQL, byte-identical math to the Spark plan."""
+    H = _hyperplanes(dim, bits, seed)
+
+    def dot(vec, i):
+        h = "[" + ", ".join(repr(float(v)) for v in H[:, i]) + "]"
+        return (
+            f"list_sum(list_transform(list_zip({vec}, {h}), "
+            "p -> p[1] * p[2]))"
+        )
+
+    def bucket(vec):
+        return " + ".join(
+            f"(CASE WHEN {dot(vec, i)} > 0 THEN {1 << i} ELSE 0 END)"
+            for i in range(bits)
+        )
+
+    return (
+        f"WITH q AS (SELECT {vec_col}::DOUBLE[] AS qv, "
+        f"CAST({bucket(f'{vec_col}::DOUBLE[]')} AS BIGINT) AS qb "
+        f"FROM {table} WHERE {id_col} = {query_id}), "
+        f"b AS (SELECT {id_col}, {vec_col}::DOUBLE[] AS emb, "
+        f"CAST({bucket(f'{vec_col}::DOUBLE[]')} AS BIGINT) AS bucket "
+        f"FROM {table}), "
+        f"scored AS (SELECT {id_col}, round("
+        "list_sum(list_transform(list_zip(emb, qv), p -> p[1] * p[2])) / "
+        "(sqrt(list_sum(list_transform(emb, v -> v * v))) * "
+        "sqrt(list_sum(list_transform(qv, v -> v * v)))), 6) AS cos "
+        "FROM b, q "
+        f"WHERE bit_count(xor(bucket, qb)) <= {probe_radius}) "
+        f"SELECT {id_col}, rnk, cos FROM ("
+        f"SELECT {id_col}, CAST(row_number() OVER "
+        f"(ORDER BY cos DESC, {id_col}) AS INT) AS rnk, cos FROM scored"
+        f") WHERE rnk <= {k}"
+    )
 
 
 def with_ivf_cell(
@@ -112,12 +223,7 @@ def ivf_topk(
         "sqrt(aggregate(transform(emb, a -> a * a), 0D, (acc, v) -> acc + v))"
     )
     scored = d.withColumn("cos", dot / (nrm * F.lit(qn)))
-    w = Window.orderBy(F.col("cos").desc(), F.col(id_col).asc())
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select(id_col, "rnk", "cos")
-    )
+    return ranked_topk(scored, id_col, k)
 
 
 def lsh_topk(
@@ -130,29 +236,25 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """LSH-bucketed cosine top-k: prune to multi-probe buckets, rescore
-    exactly, rank with a deterministic tie-break."""
+    """LSH-bucketed cosine top-k: prune to buckets within hamming distance
+    <= probe_radius of the query's bucket (multi-probe), rescore exactly,
+    rank with a deterministic tie-break.  Every float op is a sequential
+    left fold, byte-identical to the DuckDB twin (duck_lsh_topk_sql)."""
     dim = len(query_vec)
-    H = _hyperplanes(dim, bits, seed)
-    q = np.asarray(query_vec, dtype=np.float64)
-    qbits = (q @ H) > 0
-    weights = (1 << np.arange(bits)).astype(np.int64)
-    qbucket = int((qbits @ weights))
-    # multi-probe: buckets within hamming distance <= probe_radius
-    probes = [qbucket]
-    if probe_radius >= 1:
-        probes += [qbucket ^ (1 << i) for i in range(bits)]
-    if probe_radius >= 2:
-        probes += [
-            qbucket ^ (1 << i) ^ (1 << j)
-            for i in range(bits)
-            for j in range(i + 1, bits)
-        ]
+    qbucket = query_bucket(query_vec, bits, seed)
 
     bucketed = with_lsh_bucket(emb, dim, bits, seed, vec_col=vec_col)
-    cand = bucketed.filter(F.col("bucket").isin(probes))
+    # multi-probe as a hamming-ball predicate: JVM bit_count, no bucket
+    # enumeration (stays O(1) expression at any bits/radius)
+    cand = bucketed.filter(
+        F.expr(f"bit_count(bucket ^ {qbucket}L) <= {probe_radius}")
+    )
 
-    qn = float(np.sqrt((q * q).sum()))
+    # sequential fold for qn too (matches sqrt(list_sum(...)) in DuckDB)
+    acc = 0.0
+    for v in query_vec:
+        acc += float(v) * float(v)
+    qn = acc ** 0.5
     d = cand.select(
         id_col,
         F.expr(f"transform({vec_col}, v -> cast(v as double))").alias("emb"),
@@ -163,10 +265,213 @@ def lsh_topk(
     nrm = F.expr(
         "sqrt(aggregate(transform(emb, a -> a * a), 0D, (acc, v) -> acc + v))"
     )
-    scored = d.withColumn("cos", dot / (nrm * F.lit(qn)))
-    w = Window.orderBy(F.col("cos").desc(), F.col(id_col).asc())
+    scored = d.withColumn("cos", F.round(dot / (nrm * F.lit(qn)), 6))
+    return ranked_topk(scored, id_col, k)
+
+
+# ------------------------------------------------ blocked cosine near-dup
+
+
+def _band_offsets(bits: int, n_bands: int) -> list:
+    """Split [0, bits) into n_bands contiguous (offset, width) bands,
+    widths as even as possible."""
+    base, rem = divmod(bits, n_bands)
+    out, off = [], 0
+    for i in range(n_bands):
+        w = base + (1 if i < rem else 0)
+        out.append((off, w))
+        off += w
+    return out
+
+
+def cosine_near_dup_blocked(
+    emb: DataFrame,
+    dim: int,
+    threshold: float = 0.45,
+    bits: int = 16,
+    hamming_max: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-blocked (the scale path).
+
+    Semantics: pairs whose bits-bit LSH sketches differ in <= hamming_max
+    bits AND exact cosine >= threshold.  Candidates come from equi-joins
+    on (hamming_max + 1) pigeonhole bands of the sketch — any pair within
+    the hamming ball agrees on at least one full band — so the plan is a
+    shuffled/broadcast HASH join per band, never an all-pairs
+    BroadcastNestedLoopJoin.  At 100 TB, band-bucket fan-in is bounded by
+    bucket size (salting applies if a bucket is hot); an exact all-pairs
+    theta join would be O(n^2).
+
+    With a realistic near-dup threshold (>= 0.9) hamming_max of 1-2 and
+    two wide bands prune hard; this dataset's pairs sit at cos ~0.5 so
+    the defaults trade pruning for recall.  Recall vs the exact all-pairs
+    join is measured in tests/test_ann_salting.py.
+    """
+    bucketed = with_lsh_bucket(emb, dim, bits, seed, vec_col=vec_col)
+    nrm = F.expr(
+        "sqrt(aggregate(transform(emb, a -> a * a), 0D, (acc, v) -> acc + v))"
+    )
+    d = bucketed.select(
+        F.col(id_col),
+        F.expr(f"transform({vec_col}, v -> cast(v as double))").alias("emb"),
+        F.col("bucket"),
+    ).withColumn("nrm", nrm)
+
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.expr(f"(bucket >> {off}) & {(1 << w) - 1}").alias("bval"),
+            )
+            for i, (off, w) in enumerate(_band_offsets(bits, hamming_max + 1))
+        ]
+    )
+    keys = d.select(id_col, "bucket", F.explode(bands).alias("bk")).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.bval").alias("bval")
+    )
+    a, b = keys.alias("a"), keys.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    da = d.select(
+        F.col(id_col).alias("id_a"), F.col("emb").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"), F.col("bucket").alias("bucket_a"),
+    )
+    db = d.select(
+        F.col(id_col).alias("id_b"), F.col("emb").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"), F.col("bucket").alias("bucket_b"),
+    )
+    dot = F.expr(
+        "aggregate(zip_with(emb_a, emb_b, (x, y) -> x * y), 0D, "
+        "(acc, v) -> acc + v)"
+    )
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select(id_col, "rnk", "cos")
+        cand.join(da, "id_a")
+        .join(db, "id_b")
+        .filter(
+            F.bit_count(F.col("bucket_a").bitwiseXOR(F.col("bucket_b")))
+            <= hamming_max
+        )
+        .withColumn("cos", F.round(dot / (F.col("nrm_a") * F.col("nrm_b")), 6))
+        .filter(F.col("cos") >= threshold)
+        .select(
+            F.col("id_a").alias("vec_a"),
+            F.col("id_b").alias("vec_b"),
+            "cos",
+        )
+    )
+
+
+def duck_cosine_near_dup_sql(
+    dim: int,
+    threshold: float = 0.45,
+    bits: int = 16,
+    hamming_max: int = 4,
+    seed: int = 42,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of cosine_near_dup_blocked: identical semantics via an
+    all-pairs scan with the SAME hamming + threshold predicates (the
+    oracle may be quadratic at oracle scale; the banding is only a
+    candidate generator and never changes the result set)."""
+    H = _hyperplanes(dim, bits, seed)
+
+    def dot(vec, i):
+        h = "[" + ", ".join(repr(float(v)) for v in H[:, i]) + "]"
+        return (
+            f"list_sum(list_transform(list_zip({vec}, {h}), "
+            "p -> p[1] * p[2]))"
+        )
+
+    bucket = " + ".join(
+        f"(CASE WHEN {dot(f'{vec_col}::DOUBLE[]', i)} > 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i in range(bits)
+    )
+    cos = (
+        "round(list_sum(list_transform(list_zip(a.emb, b.emb), "
+        "p -> p[1] * p[2])) / (a.nrm * b.nrm), 6)"
+    )
+    return (
+        f"WITH d AS (SELECT {id_col}, {vec_col}::DOUBLE[] AS emb, "
+        f"sqrt(list_sum(list_transform({vec_col}::DOUBLE[], v -> v * v))) "
+        f"AS nrm, CAST({bucket} AS BIGINT) AS bucket FROM {table}) "
+        f"SELECT a.{id_col} AS vec_a, b.{id_col} AS vec_b, {cos} AS cos "
+        f"FROM d a JOIN d b ON a.{id_col} < b.{id_col} "
+        f"WHERE bit_count(xor(a.bucket, b.bucket)) <= {hamming_max} "
+        f"AND {cos} >= {threshold!r}"
+    )
+
+
+def hamming_near_pairs(
+    df: DataFrame,
+    id_col: str,
+    hash_col: str,
+    bits: int,
+    hamming_max: int,
+) -> DataFrame:
+    """ALL pairs with hamming(hash) <= hamming_max, via pigeonhole
+    multi-band blocking: the hash splits into (hamming_max + 1) bands;
+    any pair within the hamming ball agrees on >= 1 full band, so the
+    union of per-band equi-joins is COMPLETE while the plan stays hash
+    joins on (band, value) — never an all-pairs theta join.  Shared by
+    simhash text dedup and phash image dedup."""
+    s = df.select(id_col, hash_col)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.expr(f"({hash_col} >> {off}) & {(1 << w) - 1}").alias(
+                    "bval"
+                ),
+            )
+            for i, (off, w) in enumerate(
+                _band_offsets(bits, hamming_max + 1)
+            )
+        ]
+    )
+    keys = s.select(id_col, hash_col, F.explode(bands).alias("bk")).select(
+        id_col, hash_col,
+        F.col("bk.band").alias("band"), F.col("bk.bval").alias("bval"),
+    )
+    a, b = keys.alias("a"), keys.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"a.{hash_col}").alias("hash_a"),
+            F.col(f"b.{hash_col}").alias("hash_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("hash_a").bitwiseXOR(F.col("hash_b"))).cast(
+                "long"
+            ),
+        )
+        .filter(F.col("hamming") <= hamming_max)
+        .select("id_a", "id_b", "hamming")
     )

@@ -158,6 +158,24 @@ def with_simhash(docs: DataFrame) -> DataFrame:
     return docs.withColumn("simhash", F.expr(" + ".join(bits)).cast("long"))
 
 
+def simhash_near_pairs(docs: DataFrame, hamming_max: int = 3) -> DataFrame:
+    """All pairs with simhash hamming distance <= hamming_max, found via
+    pigeonhole multi-band blocking (complete — unlike the round-1 fixed
+    8-bit-prefix block, whose 256 buckets both missed prefix-differing
+    pairs and went quadratic within buckets at scale).  Plan: shuffled
+    hash joins on (band, value) — see ann.hamming_near_pairs."""
+    from geojson_vt_rs_spark.operators.ann import hamming_near_pairs
+
+    s = with_simhash(docs).select("doc_id", "simhash")
+    return hamming_near_pairs(
+        s, "doc_id", "simhash", SIMHASH_BITS, hamming_max
+    ).select(
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        "hamming",
+    )
+
+
 def duck_simhash_sql_expr() -> str:
     words = "list_filter(regexp_split_to_array(trim(text), '\\s+'), w -> length(w) > 0)"
     h = "('0x' || substr(md5(w), 1, 15))::BIGINT"
@@ -231,7 +249,7 @@ def ann_topk(docs_embeddings: DataFrame, query_vec: list, k: int = 20) -> DataFr
     scoring expression (see simhash blocking).  Scores rounded to 6
     decimals for cross-engine float stability; deterministic vec_id
     tie-break."""
-    from pyspark.sql import Window
+    from geojson_vt_rs_spark.operators.ann import ranked_topk
 
     q = F.array(*[F.lit(float(v)) for v in query_vec])
     qn = sum(float(v) * float(v) for v in query_vec) ** 0.5
@@ -247,12 +265,7 @@ def ann_topk(docs_embeddings: DataFrame, query_vec: list, k: int = 20) -> DataFr
         .withColumn("q", q)
         .withColumn("cos", F.round(dot / (nrm * F.lit(qn)), 6))
     )
-    w = Window.orderBy(F.col("cos").desc(), F.col("vec_id").asc())
-    return (
-        d.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select("vec_id", "rnk", "cos")
-    )
+    return ranked_topk(d, "vec_id", k)
 
 
 def duck_ann_topk_sql(query_vec: list, k: int = 20) -> str:

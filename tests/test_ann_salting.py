@@ -95,3 +95,65 @@ def test_lsh_ivf_partitioning_invariance(spark):
         .select("vec_id", "ivf_cell").toPandas().sort_values("vec_id", ignore_index=True)
     )
     assert (c["ivf_cell"] == d["ivf_cell"]).all()
+
+
+def test_cosine_near_dup_blocked_completeness(spark):
+    """The banding is ONLY a candidate generator: the blocked result must
+    EQUAL the exact all-pairs join under the same hamming + threshold
+    predicates (pigeonhole guarantee).  The all-pairs variant lives only
+    here — its BroadcastNestedLoopJoin shape is test-only by design."""
+    import numpy as np
+    from geojson_vt_rs_spark.operators.ann import (
+        _hyperplanes,
+        cosine_near_dup_blocked,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    got = {
+        (r["vec_a"], r["vec_b"]): r["cos"]
+        for r in cosine_near_dup_blocked(
+            emb, dim=64, threshold=0.45, bits=16, hamming_max=4
+        ).collect()
+    }
+
+    # brute force in numpy (sequential-fold exactness does not matter for
+    # set membership at round-6 threshold distance from any boundary)
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = [r["vec_id"] for r in rows]
+    M = np.array([[float(v) for v in r["embedding"]] for r in rows])
+    H = _hyperplanes(64, 16)
+    B = (M @ H > 0).astype(np.int64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    S = Mn @ Mn.T
+    want = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = (ids[i], ids[j]) if ids[i] < ids[j] else (ids[j], ids[i])
+            if (B[i] != B[j]).sum() <= 4 and round(S[i, j], 6) >= 0.45:
+                want.add((a, b))
+    assert set(got.keys()) == want
+
+
+def test_simhash_band_blocking_complete(spark):
+    """Multi-band candidates cover EVERY hamming<=3 pair (pigeonhole)."""
+    from geojson_vt_rs_spark.operators.text_dedup import (
+        simhash_near_pairs,
+        with_simhash,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = {
+        (r["doc_a"], r["doc_b"]) for r in simhash_near_pairs(docs, 3).collect()
+    }
+    sims = {
+        r["doc_id"]: r["simhash"]
+        for r in with_simhash(docs).select("doc_id", "simhash").collect()
+    }
+    ids = sorted(sims)
+    want = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(sims[a] ^ sims[b]).count("1") <= 3
+    }
+    assert got == want

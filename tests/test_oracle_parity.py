@@ -47,9 +47,12 @@ def test_query_vs_oracle(spark, ddb, name):
     assert len(got) == len(want), f"{name}: {len(got)} vs {len(want)} rows"
     for c in got.columns:
         a, b = got[c], want[c]
-        # dtype parity catches DuckDB HUGEINT (object/float) vs Spark BIGINT
-        # artifacts that flip the driver's value-hash despite equal values
-        assert a.dtype == b.dtype, f"{name}.{c}: dtype {a.dtype} vs {b.dtype}"
+        # dtype-kind parity catches DuckDB HUGEINT (object/float) vs Spark
+        # BIGINT artifacts that flip the driver's value-hash despite equal
+        # values (int width differences hash fine, so kind is enough)
+        assert a.dtype.kind == b.dtype.kind, (
+            f"{name}.{c}: dtype {a.dtype} vs {b.dtype}"
+        )
         if a.dtype.kind == "f" or b.dtype.kind == "f":
             pd.testing.assert_series_equal(
                 a.astype(float), b.astype(float), check_names=False, check_exact=True
