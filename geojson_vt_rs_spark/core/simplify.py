@@ -52,25 +52,19 @@ def simplify(xs: np.ndarray, ys: np.ndarray, zs: np.ndarray, tolerance: float) -
         ddy = py - cy
         sq = ddx * ddx + ddy * ddy
 
-        # Exact reproduction of the reference scan's pivot choice
-        # (simplify.rs:35-51) in closed form:
-        #   * the pivot's score is M = max(sq) when M > sq_tolerance;
-        #   * with a single occurrence of M, that index wins via the
-        #     strict `>` branch;
-        #   * with several, the first occurrence is always displaced by a
-        #     later one (|i-mid| <= last-first-1 < the initial
-        #     min_pos_to_mid), and among the later occurrences the scan
-        #     keeps the FIRST one attaining the minimal |i-mid| (strict
-        #     `<` update) — np.argmin's first-minimum rule.
+        # Pivot choice (simplify.rs:35-51): with a single occurrence of
+        # the max the strict `>` branch picks it.  With TIES, the scan's
+        # midpoint tie-break interacts with min_pos_to_mid updates made
+        # earlier at LOWER running maxima (the reference then keeps the
+        # FIRST max occurrence) — no closed form covers every case, so
+        # ties fall back to the literal scalar scan (rare, cheap).
         max_sq = float(sq.max()) if len(sq) else sq_tolerance
         if max_sq > sq_tolerance:
             occ = np.nonzero(sq == max_sq)[0]
-            if len(occ) == 1:
-                index = first + 1 + int(occ[0])
-            else:
-                mid = first + ((last - first) >> 1)
-                cands = occ[1:] + first + 1
-                index = int(cands[np.argmin(np.abs(cands - mid))])
+            if len(occ) != 1:
+                _simplify_small(xs, ys, zs, first, last, sq_tolerance, stack)
+                continue
+            index = first + 1 + int(occ[0])
             zs[index] = max_sq
             if index - first > 1:
                 stack.append((first, index))

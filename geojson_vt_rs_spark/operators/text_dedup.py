@@ -60,6 +60,9 @@ def with_minhashes(docs: DataFrame) -> DataFrame:
     )
 
 
+_BAND_CACHE: list = []
+
+
 def minhash_band_pairs(docs: DataFrame) -> DataFrame:
     """LSH candidate pairs: equal 2-row band signature -> same bucket ->
     pair.  Returns distinct (doc_a, doc_b) with the estimated similarity
@@ -85,8 +88,14 @@ def minhash_band_pairs(docs: DataFrame) -> DataFrame:
     )
     # the self-join would otherwise evaluate the md5 signature pipeline
     # once per side; the band table is tiny (4 rows/doc of ints) so cache
-    # it — both join sides then share the one materialization
+    # it — both join sides then share the one materialization.  Evict the
+    # previous invocation's cache so repeated calls in a long-lived
+    # session (bench/driver loops) hold at most ONE cached band table;
+    # unpersist is safe for still-lazy downstreams (they just recompute).
+    while _BAND_CACHE:
+        _BAND_CACHE.pop().unpersist()
     bands = bands.persist()
+    _BAND_CACHE.append(bands)
     a = bands.alias("a")
     bb = bands.alias("b")
     n_equal = sum(

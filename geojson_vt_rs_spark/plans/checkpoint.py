@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 from typing import Optional
 
@@ -29,7 +30,10 @@ from pyspark.sql import functions as F
 
 from geojson_vt_rs_spark.config import Options
 from geojson_vt_rs_spark.operators.pipeline import convert_stage, wrap_stage
-from geojson_vt_rs_spark.operators.schema import TILED_FEATURE_SCHEMA
+from geojson_vt_rs_spark.operators.schema import (
+    TILED_FEATURE_SCHEMA,
+    create_feature_df,
+)
 from geojson_vt_rs_spark.plans.pyramid import (
     K_CHILD,
     K_LEAF,
@@ -71,12 +75,15 @@ class CheckpointedPyramid:
       frontier/level_N/   the N-th level's input features (resume point)
       _manifests/level_N.json  lineage: row counts per kind, wall time
 
-    Write semantics are at-least-once per level: the manifest is the
-    commit marker, so a crash between a level's parquet appends and its
-    manifest re-appends that level's rows on resume.  Readers that need
-    exactly-once should dedupe on (z,x,y,feature_idx) — or run each
-    level's writes into a staging dir and rename, which Iceberg
-    snapshot commits would subsume in the production shape.
+    Write semantics are EXACTLY-ONCE per level: every write of a level
+    lands in ``_staging/`` first, then one atomic directory rename
+    publishes it as ``tiles/level=L<N>`` / ``leaves/level=L<N>`` and the
+    manifest is written last.  On resume, staging leftovers and published
+    level dirs without a manifest are removed before the level recomputes
+    (deterministic content), so readers never see duplicates and need no
+    dedupe.  An Iceberg snapshot commit would subsume the rename in the
+    production shape.  ``level`` is a string partition column readers may
+    ignore; ``z`` remains a partition column so point lookups still prune.
     """
 
     def __init__(self, spark: SparkSession, options: Optional[Options] = None):
@@ -88,11 +95,6 @@ class CheckpointedPyramid:
         spark = self.spark
         kernel = _level_kernel(o, 0, 0, 0, force_subtree=True)
         os.makedirs(out_dir, exist_ok=True)
-
-        from geojson_vt_rs_spark.operators.schema import (
-    TILED_FEATURE_SCHEMA,
-    create_feature_df,
-)
 
         level = 0
         frontier = None
@@ -136,6 +138,23 @@ class CheckpointedPyramid:
         fuse_max = fuse_bound(o, 0)
         pending_children: list = resumed_pending
 
+        def _level_dirs(lvl):
+            """(staging, final) dir pairs for one level's tile/leaf writes,
+            pre-cleaned of any un-committed leftovers from a crashed
+            attempt (no manifest => safe to discard and recompute)."""
+            stg_t = os.path.join(out_dir, "_staging", f"tiles_level_{lvl}")
+            stg_l = os.path.join(out_dir, "_staging", f"leaves_level_{lvl}")
+            fin_t = os.path.join(tiles_path, f"level=L{lvl}")
+            fin_l = os.path.join(leaves_path, f"level=L{lvl}")
+            for p in (stg_t, stg_l, fin_t, fin_l):
+                shutil.rmtree(p, ignore_errors=True)
+            return stg_t, stg_l, fin_t, fin_l
+
+        def _publish(stg, fin):
+            if os.path.exists(stg):
+                os.makedirs(os.path.dirname(fin), exist_ok=True)
+                os.rename(stg, fin)  # atomic commit of the level's rows
+
         def _decide(z, x, y, tnp):
             if z == o.index_max_zoom or tnp <= o.index_max_points:
                 return "leaf"
@@ -143,6 +162,7 @@ class CheckpointedPyramid:
 
         while True:
             t0 = time.time()
+            stg_tiles, stg_leaves, fin_tiles, fin_leaves = _level_dirs(level)
             frontier = frontier.persist()
             np_pdf = (
                 frontier.groupBy("z", "x", "y")
@@ -170,7 +190,8 @@ class CheckpointedPyramid:
                 if empty_rows:
                     spark.createDataFrame(empty_rows, tiles_schema).write.mode(
                         "append"
-                    ).partitionBy("z").parquet(tiles_path)
+                    ).partitionBy("z").parquet(stg_tiles)
+                _publish(stg_tiles, fin_tiles)
                 _write_manifest(
                     out_dir,
                     f"level_{level}",
@@ -206,7 +227,7 @@ class CheckpointedPyramid:
                 F.lit(None).cast("int").alias("tile_num_points"),
                 F.lit(None).cast("int").alias("tile_num_simplified"),
                 F.lit("feature").alias("action"),
-            ).write.mode("append").partitionBy("z").parquet(tiles_path)
+            ).write.mode("append").partitionBy("z").parquet(stg_tiles)
             agg = (
                 rend.groupBy("z", "x", "y")
                 .agg(
@@ -235,7 +256,7 @@ class CheckpointedPyramid:
             if stats_rows:
                 spark.createDataFrame(stats_rows, tiles_schema).write.mode(
                     "append"
-                ).partitionBy("z").parquet(tiles_path)
+                ).partitionBy("z").parquet(stg_tiles)
 
             # fused subtrees (bounded groups)
             has_fuse = any(a == "fuse" for _, _, _, a, _ in decisions)
@@ -252,10 +273,10 @@ class CheckpointedPyramid:
                     "geometry_json", "tags_json", "tile_id_str", "tile_id_num",
                     "tile_num_points", "tile_num_simplified",
                     F.coalesce(F.col("action"), F.lit("feature")).alias("action"),
-                ).write.mode("append").partitionBy("z").parquet(tiles_path)
+                ).write.mode("append").partitionBy("z").parquet(stg_tiles)
                 step.filter(F.col("row_kind") == K_LEAF).select(
                     *TILED_COLS
-                ).write.mode("append").partitionBy("z").parquet(leaves_path)
+                ).write.mode("append").partitionBy("z").parquet(stg_leaves)
                 n_tiles += int(
                     step.filter(F.col("row_kind") == K_STATS).count()
                 )
@@ -265,7 +286,7 @@ class CheckpointedPyramid:
             n_leaf = 0
             if any(a == "leaf" for _, _, _, a, _ in decisions):
                 leaf_df = fr.filter(F.col("action") == "leaf").select(*TILED_COLS)
-                leaf_df.write.mode("append").partitionBy("z").parquet(leaves_path)
+                leaf_df.write.mode("append").partitionBy("z").parquet(stg_leaves)
                 n_leaf = int(leaf_df.count())
 
             split_parents = [
@@ -290,6 +311,8 @@ class CheckpointedPyramid:
                 for dx in (0, 1)
                 for dy in (0, 1)
             ]
+            _publish(stg_tiles, fin_tiles)
+            _publish(stg_leaves, fin_leaves)
             _write_manifest(
                 out_dir,
                 f"level_{level}",
@@ -413,6 +436,21 @@ class CheckpointedPyramid:
                 (t.z, t.x, t.y, -1, None, None, None, None, None, None,
                  t.num_points, t.num_simplified, "drill")
             )
+        # staged + renamed like run()'s level commits; leaves publish FIRST
+        # so the tiles rename is the commit point (a crash in between only
+        # leaves an orphan leaves dir that a retried drill replaces)
+        drill_tag = f"drill_{z}_{x}_{y}"
+        if drill.leaf_features:
+            stg = os.path.join(out_dir, "_staging", f"leaves_{drill_tag}")
+            fin = os.path.join(leaves_path, f"level={drill_tag}")
+            shutil.rmtree(stg, ignore_errors=True)
+            shutil.rmtree(fin, ignore_errors=True)
+            for tid, pdf in drill.leaf_features.items():
+                create_feature_df(
+                    self.spark, pdf[TILED_COLS], TILED_FEATURE_SCHEMA
+                ).write.mode("append").partitionBy("z").parquet(stg)
+            os.makedirs(leaves_path, exist_ok=True)
+            os.rename(stg, fin)
         if new_rows:
             schema = (
                 "z int, x int, y int, feature_idx int, type int, kind int, "
@@ -420,13 +458,15 @@ class CheckpointedPyramid:
                 "tile_id_num long, tile_num_points int, "
                 "tile_num_simplified int, action string"
             )
+            stg = os.path.join(out_dir, "_staging", f"tiles_{drill_tag}")
+            fin = os.path.join(out_dir, "tiles", f"level={drill_tag}")
+            shutil.rmtree(stg, ignore_errors=True)
+            shutil.rmtree(fin, ignore_errors=True)
             self.spark.createDataFrame(new_rows, schema).write.mode(
                 "append"
-            ).partitionBy("z").parquet(os.path.join(out_dir, "tiles"))
-        for tid, pdf in drill.leaf_features.items():
-            create_feature_df(
-                self.spark, pdf[TILED_COLS], TILED_FEATURE_SCHEMA
-            ).write.mode("append").partitionBy("z").parquet(leaves_path)
+            ).partitionBy("z").parquet(stg)
+            os.makedirs(os.path.join(out_dir, "tiles"), exist_ok=True)
+            os.rename(stg, fin)
         return self.read_tile(out_dir, z, x, y)
 
 

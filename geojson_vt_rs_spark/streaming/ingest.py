@@ -3,9 +3,12 @@
 The reference is strictly batch (SURVEY.md §2.9) — this is the optional
 stretch: ``readStream`` over an images directory, each micro-batch pushed
 through the SAME batch kernels (footprints -> cells -> per-cell counts /
-mosaics) via foreachBatch, with checkpointed exactly-once sink appends.
-``availableNow`` processes the backlog and stops — the pattern scales to
-a continuous feed unchanged.
+mosaics) via foreachBatch.  Exactly-once EFFECTIVE semantics: foreachBatch
+itself is at-least-once (a crash between the sink write and the epoch
+commit replays the micro-batch), so each epoch OVERWRITES its own
+``epoch=<id>`` partition directory — the replay is idempotent and readers
+of the root path never see duplicates.  ``availableNow`` processes the
+backlog and stops — the pattern scales to a continuous feed unchanged.
 """
 
 from __future__ import annotations
@@ -35,9 +38,10 @@ def stream_cell_counts(
             with_cells(with_footprints(batch), zoom)
             .groupBy("cx", "cy")
             .agg(F.count(F.lit(1)).alias("n"))
-            .withColumn("epoch", F.lit(epoch_id))
-            .write.mode("append")
-            .parquet(out_dir)
+            # idempotent per-epoch dir: a replayed micro-batch overwrites
+            # its own partition instead of double-appending
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, f"epoch={int(epoch_id)}"))
         )
 
     q = (
@@ -67,8 +71,9 @@ def stream_mosaics(
 
     def handle(batch: DataFrame, epoch_id: int) -> None:
         tiles = mosaic_tiles(with_cells(with_footprints(batch), zoom), zoom)
-        tiles.withColumn("epoch", F.lit(epoch_id)).write.mode("append").parquet(
-            out_dir
+        # idempotent per-epoch dir (see module docstring)
+        tiles.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"epoch={int(epoch_id)}")
         )
 
     q = (

@@ -173,3 +173,67 @@ def test_clip_ring_scalar_vs_vectorized(pts, k1, dk):
         clipmod._SMALL_N = orig
     assert np.array_equal(ax_, bx_) and np.array_equal(ay_, by_)
     assert np.array_equal(az_, bz_)
+
+
+def _scalar_only_simplify(xs, ys, zs, tolerance):
+    """Reference comparator: the literal simplify.rs scan applied to EVERY
+    interval (no vectorized path)."""
+    from geojson_vt_rs_spark.core.simplify import _simplify_small
+
+    n = len(xs)
+    if n == 0:
+        return
+    zs[0] = 1.0
+    zs[n - 1] = 1.0
+    if n < 3:
+        return
+    stack = [(0, n - 1)]
+    while stack:
+        first, last = stack.pop()
+        _simplify_small(xs, ys, zs, first, last, tolerance * tolerance, stack)
+
+
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.floats(0, 1, allow_nan=False, width=32),
+            st.floats(0, 1, allow_nan=False, width=32),
+        ),
+        min_size=2,
+        max_size=80,
+    ),
+    tol=st.floats(1e-6, 0.2, allow_nan=False),
+    quantize=st.booleans(),
+)
+@settings(max_examples=300, deadline=None)
+def test_simplify_scalar_vs_vectorized(pts, tol, quantize):
+    """The vectorized interval scan must agree with the literal reference
+    scan on every input — including max-distance ties (quantize=True
+    snaps coordinates to a coarse grid to force ties often)."""
+    xs = np.asarray([p[0] for p in pts], dtype=np.float64)
+    ys = np.asarray([p[1] for p in pts], dtype=np.float64)
+    if quantize:
+        xs = np.round(xs * 8) / 8
+        ys = np.round(ys * 8) / 8
+    za = np.zeros(len(xs))
+    zb = np.zeros(len(xs))
+    simplify(xs, ys, za, tol)
+    _scalar_only_simplify(xs, ys, zb, tol)
+    assert np.array_equal(za, zb)
+
+
+def test_simplify_tie_with_tightened_midpoint():
+    """ADVICE repro: an earlier tie at a lower running max tightens
+    min_pos_to_mid, so the later max-value tie keeps the FIRST occurrence
+    (index 20) — the old closed-form picked 21."""
+    n = 30
+    xs = np.zeros(n)
+    ys = np.zeros(n)
+    ys[13] = ys[14] = 2.0
+    ys[20] = ys[21] = 3.0
+    za = np.zeros(n)
+    zb = np.zeros(n)
+    simplify(xs, ys, za, 0.5)
+    _scalar_only_simplify(xs, ys, zb, 0.5)
+    assert np.array_equal(za, zb)
+    assert za[20] == 9.0
