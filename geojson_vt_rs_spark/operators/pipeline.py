@@ -21,6 +21,7 @@ from __future__ import annotations
 import json
 from typing import Iterator, List
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -106,39 +107,104 @@ def split_stage(df: DataFrame, options: Options) -> DataFrame:
 
     Child clip bands use the half buffer p = 0.5*buffer/extent
     (lib.rs:340); x is clipped once and reused for both y children.
-    Narrow (no shuffle); bbox trivial accept/reject happens inside the
-    kernel per feature exactly as clip.rs:385-398.
+    Narrow (no shuffle).
+
+    Columnar fast path: clip_feature's bbox trivial accept returns the
+    feature UNCHANGED (clip.rs:385-390), so rows whose bbox makes every
+    one of the four child bands a trivial accept or reject are routed
+    with pure pandas slicing — no VtFeature construction, no Python
+    per-feature work.  In a deep pyramid that is the vast majority of
+    rows (a feature straddles child midlines only near the top).  Only
+    straddling rows take the per-feature clip path.  The band arithmetic
+    uses the same float64 op order as the scalar path, so the
+    classification is bit-identical to clip_feature's own checks.
     """
     buffer = options.tile.buffer
     extent = options.tile.extent
     lm = options.tile.line_metrics
 
+    def slow_rows(pdf: pd.DataFrame) -> List[dict]:
+        out: List[dict] = []
+        zs = pdf["z"].to_numpy()
+        xs = pdf["x"].to_numpy()
+        ys = pdf["y"].to_numpy()
+        for i, f in enumerate(pdf_to_features(pdf)):
+            z, x, y = int(zs[i]), int(xs[i]), int(ys[i])
+            z2 = float(1 << z)
+            p = 0.5 * buffer / extent
+            left = clip_feature(f, 0, (x - p) / z2, (x + 0.5 + p) / z2, lm)
+            right = clip_feature(f, 0, (x + 0.5 - p) / z2, (x + 1.0 + p) / z2, lm)
+            for dx, half in ((0, left), (1, right)):
+                for lf in half:
+                    top = clip_feature(lf, 1, (y - p) / z2, (y + 0.5 + p) / z2, lm)
+                    bot = clip_feature(
+                        lf, 1, (y + 0.5 - p) / z2, (y + 1.0 + p) / z2, lm
+                    )
+                    for dy, quarter in ((0, top), (1, bot)):
+                        for qf in quarter:
+                            row = feature_to_row(qf)
+                            row["z"] = z + 1
+                            row["x"] = x * 2 + dx
+                            row["y"] = y * 2 + dy
+                            out.append(row)
+        return out
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        p = 0.5 * buffer / extent
         for pdf in batches:
-            out: List[dict] = []
-            zs = pdf["z"].to_numpy()
-            xs = pdf["x"].to_numpy()
-            ys = pdf["y"].to_numpy()
-            for i, f in enumerate(pdf_to_features(pdf)):
-                z, x, y = int(zs[i]), int(xs[i]), int(ys[i])
-                z2 = float(1 << z)
-                p = 0.5 * buffer / extent
-                left = clip_feature(f, 0, (x - p) / z2, (x + 0.5 + p) / z2, lm)
-                right = clip_feature(f, 0, (x + 0.5 - p) / z2, (x + 1.0 + p) / z2, lm)
-                for dx, half in ((0, left), (1, right)):
-                    for lf in half:
-                        top = clip_feature(lf, 1, (y - p) / z2, (y + 0.5 + p) / z2, lm)
-                        bot = clip_feature(
-                            lf, 1, (y + 0.5 - p) / z2, (y + 1.0 + p) / z2, lm
-                        )
-                        for dy, quarter in ((0, top), (1, bot)):
-                            for qf in quarter:
-                                row = feature_to_row(qf)
-                                row["z"] = z + 1
-                                row["x"] = x * 2 + dx
-                                row["y"] = y * 2 + dy
-                                out.append(row)
-            yield pd.DataFrame(out, columns=TILED_COLS)
+            if pdf.empty:
+                yield pd.DataFrame(columns=TILED_COLS)
+                continue
+            z = pdf["z"].to_numpy()
+            x = pdf["x"].to_numpy().astype(np.float64)
+            y = pdf["y"].to_numpy().astype(np.float64)
+            z2 = np.ldexp(1.0, z.astype(np.int64))  # exact float(1 << z)
+            xm = pdf["bbox_min_x"].to_numpy()
+            xM = pdf["bbox_max_x"].to_numpy()
+            ym = pdf["bbox_min_y"].to_numpy()
+            yM = pdf["bbox_max_y"].to_numpy()
+
+            def classify(c, bmin, bmax):
+                # same op order as the scalar path: (c - p) / z2 etc.
+                k1a = (c - p) / z2
+                k2a = (c + 0.5 + p) / z2
+                k1b = (c + 0.5 - p) / z2
+                k2b = (c + 1.0 + p) / z2
+                acc_a = (bmin >= k1a) & (bmax < k2a)
+                rej_a = (bmax < k1a) | (bmin >= k2a)
+                acc_b = (bmin >= k1b) & (bmax < k2b)
+                rej_b = (bmax < k1b) | (bmin >= k2b)
+                return acc_a, rej_a, acc_b, rej_b
+
+            xa0, xr0, xa1, xr1 = classify(x, xm, xM)
+            ya0, yr0, ya1, yr1 = classify(y, ym, yM)
+            trivial = (
+                (xa0 | xr0) & (xa1 | xr1) & (ya0 | yr0) & (ya1 | yr1)
+            )
+
+            parts: List[pd.DataFrame] = []
+            for dx, xacc in ((0, xa0), (1, xa1)):
+                for dy, yacc in ((0, ya0), (1, ya1)):
+                    sel = trivial & xacc & yacc
+                    if not sel.any():
+                        continue
+                    sub = pdf.loc[sel, TILED_COLS].copy(deep=False)
+                    sub["z"] = (z[sel] + 1).astype(sub["z"].dtype)
+                    sub["x"] = (
+                        pdf["x"].to_numpy()[sel] * 2 + dx
+                    ).astype(sub["x"].dtype)
+                    sub["y"] = (
+                        pdf["y"].to_numpy()[sel] * 2 + dy
+                    ).astype(sub["y"].dtype)
+                    parts.append(sub)
+            if not trivial.all():
+                slow = slow_rows(pdf.loc[~trivial])
+                if slow:
+                    parts.append(pd.DataFrame(slow, columns=TILED_COLS))
+            if parts:
+                yield pd.concat(parts, ignore_index=True)[TILED_COLS]
+            else:
+                yield pd.DataFrame(columns=TILED_COLS)
 
     return df.mapInPandas(kernel, schema=TILED_FEATURE_SCHEMA)
 

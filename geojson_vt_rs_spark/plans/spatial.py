@@ -123,22 +123,25 @@ def tile_polygons_df(spark: SparkSession, index, zoom: int) -> DataFrame:
 
 def ray_cast_inside(px: np.ndarray, py: np.ndarray, rings: list) -> np.ndarray:
     """Vectorized even-odd ray casting: for each point, odd crossing count
-    over all rings = inside (holes handled by parity)."""
+    over all rings = inside (holes handled by parity).  Fully vectorized
+    (segments x points) — no per-segment Python loop; crossings per point
+    are XOR-folded via a parity sum."""
     inside = np.zeros(len(px), dtype=bool)
     for ring in rings:
         r = np.asarray(ring, dtype=np.float64)
         if len(r) < 3:
             continue
-        x0, y0 = r[:-1, 0], r[:-1, 1]
-        x1, y1 = r[1:, 0], r[1:, 1]
-        # segment straddles the horizontal line through the point
-        for i in range(len(x0)):
-            cond = (y0[i] > py) != (y1[i] > py)
-            if not cond.any():
-                continue
-            t = (py - y0[i]) / (y1[i] - y0[i])
-            xcross = x0[i] + t * (x1[i] - x0[i])
-            inside ^= cond & (px < xcross)
+        x0 = r[:-1, 0][:, None]
+        y0 = r[:-1, 1][:, None]
+        x1 = r[1:, 0][:, None]
+        y1 = r[1:, 1][:, None]
+        # (n_seg, n_pts): segment straddles the point's horizontal ray
+        straddle = (y0 > py) != (y1 > py)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = (py - y0) / (y1 - y0)
+            xcross = x0 + t * (x1 - x0)
+        crossings = (straddle & (px < xcross)).sum(axis=0)
+        inside ^= (crossings & 1).astype(bool)
     return inside
 
 
@@ -285,22 +288,36 @@ def nn_resample(rgb: np.ndarray, size: int = SLOT_PX) -> np.ndarray:
     return rgb[yi][:, xi]
 
 
-def mosaic_tiles(images_pts: DataFrame, zoom: int) -> DataFrame:
+def mosaic_tiles(
+    images_pts: DataFrame, zoom: int, decode_early: bool = False
+) -> DataFrame:
     """Render one raster tile per occupied cell: up to SLOTS images per
-    tile (row_number cap by image_id — bounds skewed groups), each
+    tile (deterministic min-by-image_id cap — bounds skewed groups), each
     nearest-neighbor resampled into a 16x16 slot of a 256x256 PNG.
 
     The manifest carries per-tile lineage (slot -> image_id) + row counts
     so downstream verification (PSNR, caption equality) and checkpoint
     resume can audit every partition.
     """
-    # exact two-phase top-k per tile: phase 1 ranks within (tile, salt)
-    # and keeps <= SLOTS per salt (the union provably contains the global
-    # top-SLOTS), phase 2 ranks the <= SLOTS*n_salts survivors.  A single
-    # global window would sort a dense metro tile's ENTIRE row set in one
-    # partition; this bounds phase-2 partitions regardless of skew.
+    # Keep the multi-KB `bytes` column off the RANKING shuffles:
+    #   1. exact two-phase salted top-k on a BYTES-FREE projection
+    #      (cx, cy, image_id — ~40 B/row window shuffles; phase 1 ranks
+    #      within (tile, salt) so a dense metro tile never sorts in one
+    #      task, phase 2 ranks the <= SLOTS*n_salts survivors);
+    #   2. broadcast the survivor ids back onto the cached image rows —
+    #      the survivor set is bounded by n_tiles * SLOTS regardless of
+    #      input size (mosaic zooms are low, so this stays driver-safe);
+    #   3. the surviving image rows cross the wire exactly ONCE, into the
+    #      render groupBy (the round-1 plan window-shuffled them twice
+    #      more).
+    # decode_early=True additionally decodes + nn-resamples map-side so
+    # the one wide exchange moves fixed 768-byte slot thumbnails instead
+    # of original bytes — the right call when real images are 100KB-10MB;
+    # for this synthetic table (~1.5KB/png) the extra Arrow pass costs
+    # more than it saves, so it is opt-in.
     n_salts = 16
-    salted = images_pts.withColumn(
+    ids = images_pts.select("cx", "cy", "image_id")
+    salted = ids.withColumn(
         "_salt", F.pmod(F.xxhash64(F.col("image_id")), F.lit(n_salts))
     )
     w1 = Window.partitionBy("cx", "cy", "_salt").orderBy(F.col("image_id").asc())
@@ -308,12 +325,52 @@ def mosaic_tiles(images_pts: DataFrame, zoom: int) -> DataFrame:
         salted.withColumn("_r1", F.row_number().over(w1))
         .filter(F.col("_r1") <= SLOTS)
     )
-    w = Window.partitionBy("cx", "cy").orderBy(F.col("image_id").asc())
-    capped = (
-        survivors.withColumn("slot", F.row_number().over(w) - 1)
+    w2 = Window.partitionBy("cx", "cy").orderBy(F.col("image_id").asc())
+    capped_ids = (
+        survivors.withColumn("slot", F.row_number().over(w2) - 1)
         .filter(F.col("slot") < SLOTS)
-        .select("cx", "cy", "slot", "image_id", "bytes", "w", "h", "fmt")
+        .select("cx", "cy", "image_id", "slot")
     )
+    joined = images_pts.select(
+        "cx", "cy", "image_id", "bytes", "w", "h", "fmt"
+    ).join(F.broadcast(capped_ids), ["cx", "cy", "image_id"], "inner")
+
+    if decode_early:
+        slot_schema = T.StructType(
+            [
+                T.StructField("cx", T.LongType()),
+                T.StructField("cy", T.LongType()),
+                T.StructField("slot", T.IntegerType()),
+                T.StructField("image_id", T.StringType()),
+                T.StructField("rgb", T.BinaryType()),
+                T.StructField("src_len", T.LongType()),
+            ]
+        )
+
+        def decode_slots(
+            batches: Iterator[pd.DataFrame],
+        ) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                rgbs, lens = [], []
+                for r in pdf.itertuples(index=False):
+                    rgb = decode_image(r.bytes, int(r.w), int(r.h), r.fmt)
+                    rgbs.append(nn_resample(rgb).tobytes())
+                    lens.append(len(r.bytes))
+                yield pd.DataFrame(
+                    dict(
+                        cx=pdf["cx"].to_numpy(),
+                        cy=pdf["cy"].to_numpy(),
+                        slot=pdf["slot"].to_numpy(),
+                        image_id=pdf["image_id"].to_numpy(),
+                        rgb=rgbs if rgbs else np.array([], dtype=object),
+                        src_len=lens if lens else np.array([], dtype=np.int64),
+                    ),
+                    columns=[f.name for f in slot_schema.fields],
+                )
+
+        pre = joined.mapInPandas(decode_slots, schema=slot_schema)
+    else:
+        pre = joined
 
     def render(key, pdf: pd.DataFrame) -> pd.DataFrame:
         cx, cy = int(key[0]), int(key[1])
@@ -323,12 +380,20 @@ def mosaic_tiles(images_pts: DataFrame, zoom: int) -> DataFrame:
         src_bytes = 0
         per = TILE_PX // SLOT_PX
         for r in pdf.itertuples(index=False):
-            rgb = decode_image(r.bytes, int(r.w), int(r.h), r.fmt)
             s = int(r.slot)
             ry, rx = (s // per) * SLOT_PX, (s % per) * SLOT_PX
-            canvas[ry : ry + SLOT_PX, rx : rx + SLOT_PX] = nn_resample(rgb)
+            if decode_early:
+                tile_rgb = np.frombuffer(r.rgb, dtype=np.uint8).reshape(
+                    SLOT_PX, SLOT_PX, 3
+                )
+                src_bytes += int(r.src_len)
+            else:
+                tile_rgb = nn_resample(
+                    decode_image(r.bytes, int(r.w), int(r.h), r.fmt)
+                )
+                src_bytes += len(r.bytes)
+            canvas[ry : ry + SLOT_PX, rx : rx + SLOT_PX] = tile_rgb
             manifest[str(s)] = r.image_id
-            src_bytes += len(r.bytes)
         ids = pdf["image_id"]
         return pd.DataFrame(
             [
@@ -346,4 +411,4 @@ def mosaic_tiles(images_pts: DataFrame, zoom: int) -> DataFrame:
             ]
         )
 
-    return capped.groupBy("cx", "cy").applyInPandas(render, schema=MOSAIC_SCHEMA)
+    return pre.groupBy("cx", "cy").applyInPandas(render, schema=MOSAIC_SCHEMA)

@@ -181,3 +181,28 @@ def test_mosaic_psnr_and_lineage(spark, images):
             assert np.array_equal(slot, want)  # PNG is lossless: exact
             checked += 1
     assert checked > 0
+
+
+def test_mosaic_decode_early_identical(spark):
+    """decode_early moves decode+resample before the shuffle (the
+    large-image scale path) — output tiles must be byte-identical to the
+    default decode-in-render path."""
+    from geojson_vt_rs_spark.plans.spatial import (
+        mosaic_tiles,
+        with_cells,
+        with_footprints,
+    )
+    from geojson_vt_rs_spark.sources.images import generate_images
+
+    imgs = with_cells(with_footprints(generate_images(spark, 600, 4)), 5)
+    imgs = imgs.persist()
+    a = {
+        (r["x"], r["y"]): (bytes(r["tile_png"]), r["manifest_json"])
+        for r in mosaic_tiles(imgs, 5, decode_early=False).collect()
+    }
+    b = {
+        (r["x"], r["y"]): (bytes(r["tile_png"]), r["manifest_json"])
+        for r in mosaic_tiles(imgs, 5, decode_early=True).collect()
+    }
+    imgs.unpersist()
+    assert a == b

