@@ -78,6 +78,7 @@ class VtFeature:
     props_json: Optional[str] = None
     id_str: Optional[str] = None
     id_num: Optional[int] = None
+    id_float: Optional[float] = None  # non-integer numeric ids (legal JSON)
     feature_seq: int = 0
     world_copy: int = 1  # 0 left / 1 center / 2 right (wrap ordering)
     slice_path: str = ""  # lexicographic order key for metric-mode slices
@@ -101,6 +102,7 @@ class VtFeature:
             props_json=self.props_json,
             id_str=self.id_str,
             id_num=self.id_num,
+            id_float=self.id_float,
             feature_seq=self.feature_seq,
             world_copy=self.world_copy,
             slice_path=self.slice_path,

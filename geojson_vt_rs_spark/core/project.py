@@ -130,6 +130,7 @@ def convert(features: list, tolerance: float, generate_id: bool) -> list:
             f = VtFeature(**{**f.__dict__})
             f.id_str = None
             f.id_num = gen_id
+            f.id_float = None
         conv = convert_feature(f, tolerance)
         if conv is not None:
             out.append(conv)

@@ -83,7 +83,8 @@ class TileEmitter:
         return np.stack([tx, ty], axis=1).astype(np.int64).tolist()
 
     # --- per-kind emitters ------------------------------------------------
-    def _emit(self, tile_type, kind, geometry, tags, id_str, id_num):
+    def _emit(self, tile_type, kind, geometry, tags, ids):
+        id_str, id_num, id_float = ids
         self.features.append(
             dict(
                 type=tile_type,
@@ -92,6 +93,7 @@ class TileEmitter:
                 tags=tags,
                 id_str=id_str,
                 id_num=id_num,
+                id_float=id_float,
             )
         )
 
@@ -120,18 +122,18 @@ class TileEmitter:
             if float(f.part_area[p]) > self.sq_tolerance
         ]
 
-    def _add_geometry(self, f: VtFeature, tags, id_str, id_num):
+    def _add_geometry(self, f: VtFeature, tags, ids):
         gt = f.geom_type
         if gt == GEOM_POINT:
             px, py, _ = f.part(0)
-            self._emit(TYPE_POINT, gt, self._transform(px, py), tags, id_str, id_num)
+            self._emit(TYPE_POINT, gt, self._transform(px, py), tags, ids)
         elif gt == GEOM_MULTIPOINT:
             px, py, _ = f.part(0)
             pts = self._transform(px, py)
             if len(pts) == 1:
-                self._emit(TYPE_POINT, GEOM_POINT, pts, tags, id_str, id_num)
+                self._emit(TYPE_POINT, GEOM_POINT, pts, tags, ids)
             elif len(pts) > 1:
-                self._emit(TYPE_POINT, gt, pts, tags, id_str, id_num)
+                self._emit(TYPE_POINT, gt, pts, tags, ids)
         elif gt == GEOM_LINESTRING:
             pts = self._line_pts(f, 0)
             if pts:
@@ -144,9 +146,9 @@ class TileEmitter:
                     new_tags["mapbox_clip_end"] = _intify(
                         float(f.part_seg_end[0]) / dist
                     )
-                    self._emit(TYPE_LINE, gt, [pts], new_tags, id_str, id_num)
+                    self._emit(TYPE_LINE, gt, [pts], new_tags, ids)
                 else:
-                    self._emit(TYPE_LINE, gt, [pts], tags, id_str, id_num)
+                    self._emit(TYPE_LINE, gt, [pts], tags, ids)
         elif gt == GEOM_MULTILINESTRING:
             # transform_multi_line_string keeps empty inner lines for
             # dist-passing lines (tile.rs:331-339)
@@ -156,13 +158,13 @@ class TileEmitter:
                 if float(f.part_dist[p]) > self.tolerance
             ]
             if len(lines) == 1:
-                self._emit(TYPE_LINE, GEOM_LINESTRING, lines, tags, id_str, id_num)
+                self._emit(TYPE_LINE, GEOM_LINESTRING, lines, tags, ids)
             elif len(lines) > 1:
-                self._emit(TYPE_LINE, gt, lines, tags, id_str, id_num)
+                self._emit(TYPE_LINE, gt, lines, tags, ids)
         elif gt == GEOM_POLYGON:
             rings = self._polygon_rings(f, 0, f.nparts)
             if rings:
-                self._emit(TYPE_POLYGON, gt, rings, tags, id_str, id_num)
+                self._emit(TYPE_POLYGON, gt, rings, tags, ids)
         elif gt == GEOM_MULTIPOLYGON:
             polys = []
             ro = f.ring_offsets
@@ -171,20 +173,20 @@ class TileEmitter:
                 if rings:
                     polys.append(rings)
             if len(polys) == 1:
-                self._emit(TYPE_POLYGON, GEOM_POLYGON, polys[0], tags, id_str, id_num)
+                self._emit(TYPE_POLYGON, GEOM_POLYGON, polys[0], tags, ids)
             elif len(polys) > 1:
-                self._emit(TYPE_POLYGON, gt, polys, tags, id_str, id_num)
+                self._emit(TYPE_POLYGON, gt, polys, tags, ids)
         elif gt == GEOM_GEOMETRYCOLLECTION:
             for s in range(len(f.gc_kinds)):
                 sub = subgeom_view(f, s)
-                self._add_geometry(sub, tags, id_str, id_num)
+                self._add_geometry(sub, tags, ids)
 
     def add_feature(self, f: VtFeature):
         self.num_points += f.num_points
         tags = json.loads(f.props_json) if f.props_json else None
         if tags is not None and not tags:
             tags = None  # empty props -> no tags (tile.rs:86-90)
-        self._add_geometry(f, tags, f.id_str, f.id_num)
+        self._add_geometry(f, tags, (f.id_str, f.id_num, f.id_float))
 
 
 def _intify(v: float):

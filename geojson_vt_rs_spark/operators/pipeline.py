@@ -74,6 +74,7 @@ def convert_stage(df: DataFrame, tolerance: float, generate_id: bool) -> DataFra
                 if generate_id:
                     f.id_str = None
                     f.id_num = f.feature_seq
+                    f.id_float = None
                 c = convert_feature(f, tolerance)
                 if c is not None:
                     out.append(feature_to_row(c))
@@ -258,6 +259,7 @@ RENDER_SCHEMA = T.StructType(
         T.StructField("tags_json", T.StringType()),
         T.StructField("id_str", T.StringType()),
         T.StructField("id_num", T.LongType()),
+        T.StructField("id_float", T.DoubleType()),
         T.StructField("n_emitted", T.IntegerType()),
     ]
 )
@@ -331,6 +333,7 @@ def render_stage(df: DataFrame, options) -> DataFrame:
                             ),
                             id_str=tf["id_str"],
                             id_num=tf["id_num"],
+                            id_float=tf["id_float"],
                             n_emitted=em.num_simplified if si == 0 else 0,
                         )
                     )
@@ -373,6 +376,7 @@ def _emit_rows(
                 ),
                 id_str=tf["id_str"],
                 id_num=tf["id_num"],
+                id_float=tf["id_float"],
                 num_points=em.num_points,
                 num_simplified=em.num_simplified,
             )
@@ -389,6 +393,7 @@ def _emit_rows(
             tags_json=None,
             id_str=None,
             id_num=None,
+            id_float=None,
             num_points=em.num_points,
             num_simplified=em.num_simplified,
         )

@@ -31,6 +31,7 @@ FEATURE_FIELDS = [
     _f("slice_path", T.StringType()),
     _f("id_str", T.StringType()),
     _f("id_num", T.LongType()),
+    _f("id_float", T.DoubleType()),
     _f("props_json", T.StringType()),
     _f("geom_type", T.IntegerType()),
     _f("xs", _arr(T.DoubleType())),
@@ -77,6 +78,7 @@ TILE_ROW_SCHEMA = T.StructType(
         _f("tags_json", T.StringType()),
         _f("id_str", T.StringType()),
         _f("id_num", T.LongType()),
+        _f("id_float", T.DoubleType()),
         _f("num_points", T.IntegerType()),
         _f("num_simplified", T.IntegerType()),
     ]
@@ -90,6 +92,7 @@ def feature_to_row(f: VtFeature) -> dict:
         slice_path=f.slice_path,
         id_str=f.id_str,
         id_num=f.id_num,
+        id_float=f.id_float,
         props_json=f.props_json,
         geom_type=f.geom_type,
         xs=f.xs,
@@ -136,6 +139,7 @@ def row_to_feature(r) -> VtFeature:
         props_json=r["props_json"] if pd.notna(r["props_json"]) else None,
         id_str=r["id_str"] if pd.notna(r["id_str"]) else None,
         id_num=int(r["id_num"]) if pd.notna(r["id_num"]) else None,
+        id_float=float(r["id_float"]) if pd.notna(r["id_float"]) else None,
         feature_seq=int(r["feature_seq"]),
         world_copy=int(r["world_copy"]),
         slice_path=r["slice_path"] or "",
@@ -208,6 +212,10 @@ def sanitize_pdf(pdf: pd.DataFrame, schema: Optional[T.StructType] = None) -> pd
         elif isinstance(dt, _INT_TYPES):
             # pandas upcasts nullable ints to float64: NaN -> None, 5.0 -> 5
             out[col] = [None if pd.isna(v) else int(v) for v in out[col]]
+        elif isinstance(dt, (T.DoubleType, T.FloatType)):
+            # pandas uses NaN for null doubles; the engine never produces
+            # NaN values, so NaN here always means NULL (e.g. id_float)
+            out[col] = [None if pd.isna(v) else float(v) for v in out[col]]
         elif isinstance(dt, T.StringType):
             out[col] = [v if isinstance(v, str) else None for v in out[col]]
     return out
@@ -226,6 +234,7 @@ def pdf_to_features(pdf: pd.DataFrame) -> Iterator[VtFeature]:
         return
     c = {name: pdf[name].to_numpy() for name in
          ("feature_seq", "world_copy", "slice_path", "id_str", "id_num",
+          "id_float",
           "props_json", "geom_type", "xs", "ys", "zs", "part_offsets",
           "ring_offsets", "gc_kinds", "gc_part_offsets", "part_dist",
           "part_seg_start", "part_seg_end", "part_area", "bbox_min_x",
@@ -235,6 +244,7 @@ def pdf_to_features(pdf: pd.DataFrame) -> Iterator[VtFeature]:
         props = c["props_json"][i]
         id_str = c["id_str"][i]
         id_num = c["id_num"][i]
+        id_float = c["id_float"][i]
         yield VtFeature(
             geom_type=int(c["geom_type"][i]),
             xs=_np(c["xs"][i], np.float64),
@@ -251,6 +261,11 @@ def pdf_to_features(pdf: pd.DataFrame) -> Iterator[VtFeature]:
             props_json=props if isinstance(props, str) else None,
             id_str=id_str if isinstance(id_str, str) else None,
             id_num=int(id_num) if id_num is not None and pd.notna(id_num) else None,
+            id_float=(
+                float(id_float)
+                if id_float is not None and pd.notna(id_float)
+                else None
+            ),
             feature_seq=int(c["feature_seq"][i]),
             world_copy=int(c["world_copy"][i]),
             slice_path=c["slice_path"][i] or "",

@@ -177,12 +177,13 @@ class CheckpointedPyramid:
             tiles_schema = (
                 "z int, x int, y int, feature_idx int, type int, kind int, "
                 "geometry_json string, tags_json string, tile_id_str string, "
-                "tile_id_num long, tile_num_points int, "
+                "tile_id_num long, tile_id_float double, tile_num_points int, "
                 "tile_num_simplified int, action string"
             )
             # empty children of the previous level's split parents
             empty_rows = [
-                (z, x, y, -1, None, None, None, None, None, None, 0, 0, "empty")
+                (z, x, y, -1, None, None, None, None, None, None, None,
+                 0, 0, "empty")
                 for z, x, y in pending_children
                 if (z, x, y) not in observed
             ]
@@ -224,6 +225,7 @@ class CheckpointedPyramid:
                 "geometry_json", "tags_json",
                 F.col("id_str").alias("tile_id_str"),
                 F.col("id_num").alias("tile_id_num"),
+                F.col("id_float").alias("tile_id_float"),
                 F.lit(None).cast("int").alias("tile_num_points"),
                 F.lit(None).cast("int").alias("tile_num_simplified"),
                 F.lit("feature").alias("action"),
@@ -247,7 +249,7 @@ class CheckpointedPyramid:
             # from the render counters); fused roots get theirs from the
             # subtree kernel's K_STATS rows instead
             stats_rows = empty_rows + [
-                (z, x, y, -1, None, None, None, None, None, None, tnp,
+                (z, x, y, -1, None, None, None, None, None, None, None, tnp,
                  ns_map.get((z, x, y), (0, 0))[0], a)
                 for z, x, y, a, tnp in decisions
                 if a != "fuse"
@@ -271,6 +273,7 @@ class CheckpointedPyramid:
                 step.filter(F.col("row_kind").isin(K_TILE, K_STATS)).select(
                     "z", "x", "y", "feature_idx", "type", "kind",
                     "geometry_json", "tags_json", "tile_id_str", "tile_id_num",
+                    "tile_id_float",
                     "tile_num_points", "tile_num_simplified",
                     F.coalesce(F.col("action"), F.lit("feature")).alias("action"),
                 ).write.mode("append").partitionBy("z").parquet(stg_tiles)
@@ -429,11 +432,11 @@ class CheckpointedPyramid:
                      _json.dumps(tf["geometry"], separators=(",", ":")),
                      None if tf["tags"] is None else _json.dumps(
                          tf["tags"], separators=(",", ":")),
-                     tf["id_str"], tf["id_num"], t.num_points,
-                     t.num_simplified, "drill")
+                     tf["id_str"], tf["id_num"], tf["id_float"],
+                     t.num_points, t.num_simplified, "drill")
                 )
             new_rows.append(
-                (t.z, t.x, t.y, -1, None, None, None, None, None, None,
+                (t.z, t.x, t.y, -1, None, None, None, None, None, None, None,
                  t.num_points, t.num_simplified, "drill")
             )
         # staged + renamed like run()'s level commits; leaves publish FIRST
@@ -455,7 +458,7 @@ class CheckpointedPyramid:
             schema = (
                 "z int, x int, y int, feature_idx int, type int, kind int, "
                 "geometry_json string, tags_json string, tile_id_str string, "
-                "tile_id_num long, tile_num_points int, "
+                "tile_id_num long, tile_id_float double, tile_num_points int, "
                 "tile_num_simplified int, action string"
             )
             stg = os.path.join(out_dir, "_staging", f"tiles_{drill_tag}")

@@ -75,6 +75,7 @@ STEP_SCHEMA = T.StructType(
         T.StructField("tags_json", T.StringType()),
         T.StructField("tile_id_str", T.StringType()),
         T.StructField("tile_id_num", T.LongType()),
+        T.StructField("tile_id_float", T.DoubleType()),
         T.StructField("tile_num_points", T.IntegerType()),
         T.StructField("tile_num_simplified", T.IntegerType()),
         T.StructField("action", T.StringType()),  # on stats rows
@@ -92,6 +93,7 @@ _TILE_NULLS = dict(
     tags_json=None,
     tile_id_str=None,
     tile_id_num=None,
+    tile_id_float=None,
     tile_num_points=None,
     tile_num_simplified=None,
     action=None,
@@ -165,6 +167,7 @@ def _level_kernel(
                     ),
                     tile_id_str=tf["id_str"],
                     tile_id_num=tf["id_num"],
+                    tile_id_float=tf["id_float"],
                 )
             )
         rows.append(
@@ -580,6 +583,7 @@ def _render_rows_to_features(sub: pd.DataFrame) -> list:
                 tags=None if r.tags_json is None else json.loads(r.tags_json),
                 id_str=r.id_str if isinstance(r.id_str, str) else None,
                 id_num=int(r.id_num) if pd.notna(r.id_num) else None,
+                id_float=float(r.id_float) if pd.notna(r.id_float) else None,
             )
         )
     return feats
@@ -597,6 +601,9 @@ def _rows_to_tile_features(grp: pd.DataFrame) -> list:
                 tags=None if r.tags_json is None else json.loads(r.tags_json),
                 id_str=r.tile_id_str if isinstance(r.tile_id_str, str) else None,
                 id_num=int(r.tile_id_num) if pd.notna(r.tile_id_num) else None,
+                id_float=(
+                    float(r.tile_id_float) if pd.notna(r.tile_id_float) else None
+                ),
             )
         )
     return feats

@@ -8,12 +8,11 @@ this flattening (clip recurses per sub-geometry and emit flattens GC into
 one output feature per sub, tile.rs:286-297), so a single-level encoding
 loses nothing.
 
-Feature ids may be strings or numbers (tests.rs:92-98); both are kept in
-separate nullable fields.  Known limitation: non-integer numeric ids
-(legal JSON, absent from every reference fixture and test) don't fit the
-int64 id_num field and are dropped; extend to a double field if such
-inputs ever matter.  Properties stay an opaque canonical JSON string to
-preserve number-vs-string typing through Arrow.
+Feature ids may be strings or numbers (tests.rs:92-98,
+/root/reference/src/types.rs:133): string ids ride id_str, integer ids
+id_num (int64), and non-integer numeric ids (legal JSON) id_float
+(double) — nothing is dropped.  Properties stay an opaque canonical JSON
+string to preserve number-vs-string typing through Arrow.
 """
 
 from __future__ import annotations
@@ -81,6 +80,7 @@ def feature_from_geojson(feat: dict, feature_seq: int) -> VtFeature:
     fid = feat.get("id")
     id_str = fid if isinstance(fid, str) else None
     id_num = fid if isinstance(fid, (int,)) and not isinstance(fid, bool) else None
+    id_float = fid if isinstance(fid, float) else None
 
     subs = list(_geometry_parts(geom))
     if len(subs) == 1 and subs[0][0] != GEOM_GEOMETRYCOLLECTION and (
@@ -94,6 +94,7 @@ def feature_from_geojson(feat: dict, feature_seq: int) -> VtFeature:
             props_json=props_json,
             id_str=id_str,
             id_num=id_num,
+            id_float=id_float,
             feature_seq=feature_seq,
         )
         f.num_points = len(f.xs)  # raw point count (drives size-based planning)
@@ -115,6 +116,7 @@ def feature_from_geojson(feat: dict, feature_seq: int) -> VtFeature:
         props_json=props_json,
         id_str=id_str,
         id_num=id_num,
+        id_float=id_float,
         feature_seq=feature_seq,
     )
     f.num_points = len(f.xs)

@@ -149,3 +149,55 @@ def test_nofuse_split_path_tilewise_exact(spark):
             assert a["geometry"] == b["geometry"]
             assert a["tags"] == b["tags"]
             assert a["kind"] == b["kind"]
+
+
+def test_float_feature_ids(spark):
+    """Non-integer numeric ids are legal GeoJSON (types.rs:133 via the
+    geojson crate's string-or-number Id) — preserved end-to-end through
+    both the local and the distributed tiler."""
+    import json as _json
+
+    from geojson_vt_rs_spark.config import Options
+    from geojson_vt_rs_spark.core.tiler import GeoJSONVT as CoreTiler
+    from geojson_vt_rs_spark.operators.pipeline import read_geojson_features
+    from geojson_vt_rs_spark.plans.pyramid import SparkGeoJSONVT
+    from geojson_vt_rs_spark.sources.geojson import load_geojson
+
+    gj = _json.dumps(
+        {
+            "type": "FeatureCollection",
+            "features": [
+                {"type": "Feature", "id": 1.5,
+                 "geometry": {"type": "Point", "coordinates": [1.0, 2.0]},
+                 "properties": {"n": "float"}},
+                {"type": "Feature", "id": 7,
+                 "geometry": {"type": "Point", "coordinates": [3.0, 4.0]},
+                 "properties": {"n": "int"}},
+                {"type": "Feature", "id": "s42",
+                 "geometry": {"type": "Point", "coordinates": [5.0, 6.0]},
+                 "properties": {"n": "str"}},
+            ],
+        }
+    )
+
+    def ids_of(features):
+        out = {}
+        for tf in features:
+            key = _json.loads(tf["tags"] or "{}") if isinstance(
+                tf["tags"], str) else tf["tags"]
+            out[key["n"]] = (tf["id_str"], tf["id_num"], tf["id_float"])
+        return out
+
+    loc = CoreTiler(load_geojson(gj), Options())
+    lt = loc.get_tile(0, 0, 0)  # returns the TileEmitter directly
+    got_local = ids_of(lt.features)
+    assert got_local == {
+        "float": (None, None, 1.5),
+        "int": (None, 7, None),
+        "str": ("s42", None, None),
+    }
+
+    feats = read_geojson_features(spark, gj)
+    idx = SparkGeoJSONVT(spark, feats, Options(), prefer_local=False)
+    st = idx.get_tile(0, 0, 0)
+    assert ids_of(st.features) == got_local
