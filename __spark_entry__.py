@@ -619,6 +619,29 @@ def _sql_ann_lsh_topk() -> str:
     return duck_lsh_topk_sql(dim=64, k=10, bits=6, probe_radius=2)
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN scale path: coarse cells from the 16 vec_id<16
+    rows as centroids (normalized with sequential folds), probe the 2
+    nearest cells, exact round-6 rescore.  Cell assignment is pure JVM
+    SQL, so the whole pipeline has a DuckDB twin that re-derives the
+    centroids from the table (sf-independent)."""
+    from geojson_vt_rs_spark.operators.ann import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = emb.filter("vec_id < 16").collect()
+    cents = sorted(
+        (int(r["vec_id"]), [float(v) for v in r["embedding"]]) for r in rows
+    )
+    qv = [float(v) for v in emb.filter("vec_id = 0").collect()[0]["embedding"]]
+    return ivf_topk(emb, qv, cents, k=10, n_probe=2)
+
+
+def _sql_ann_ivf_topk() -> str:
+    from geojson_vt_rs_spark.operators.ann import duck_ivf_topk_sql
+
+    return duck_ivf_topk_sql(n_centroids=16, k=10, n_probe=2)
+
+
 # ---------------------------------------------- end-to-end engine (no SQL)
 def q_vt_total_us_states(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replays the reference's get_tile_us_states scenario (tests.rs:404-431)
@@ -751,6 +774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_stats": q_bpe_token_stats,
         "salted_cell_counts": q_salted_cell_counts,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "phash_near_dups": q_phash_near_dups,
         "vt_total_us_states": q_vt_total_us_states,
     }
@@ -789,6 +813,7 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT {_sql_cells(7)} AS cell, count(*) AS n_points "
             f"FROM ({_SQL_POINTS}) GROUP BY 1"
         ),
+        "ann_ivf_topk": _sql_ann_ivf_topk(),
         "phash_near_dups": _sql_phash_near_dups(),
         "vt_total_us_states": SQL_VT_TOTAL,
     }

@@ -163,6 +163,33 @@ def duck_lsh_topk_sql(
     )
 
 
+def _norm_centroids(centroids: list) -> list:
+    """(cid, unit-vector) pairs normalized with a SEQUENTIAL left-fold
+    norm — the exact ops DuckDB's sqrt(list_sum(list_transform(c, w ->
+    w*w))) performs, so an oracle that re-derives the unit centroids from
+    the table gets bit-identical values."""
+    out = []
+    for cid, v in centroids:
+        acc = 0.0
+        for x in v:
+            acc += float(x) * float(x)
+        n = acc ** 0.5
+        out.append((int(cid), [float(x) / n for x in v]))
+    return out
+
+
+def _centroid_sims(query_vec: list, cn: list) -> list:
+    """Sequential-fold dot of the query against each unit centroid —
+    the same left fold the SQL expressions and DuckDB's list_sum use."""
+    sims = []
+    for _, c in cn:
+        acc = 0.0
+        for a, b in zip(query_vec, c):
+            acc += float(a) * float(b)
+        sims.append(acc)
+    return sims
+
+
 def with_ivf_cell(
     emb: DataFrame,
     centroids: list,  # list of (cid, vector)
@@ -170,23 +197,37 @@ def with_ivf_cell(
     out: str = "ivf_cell",
 ) -> DataFrame:
     """IVF coarse quantizer: assign each vector to its nearest centroid
-    (cosine).  Centroids are data rows chosen deterministically (no
-    training step needed for a coarse index); one numpy matmul per
-    Arrow batch."""
-    C = np.stack([np.asarray(v, dtype=np.float64) for _, v in centroids])
-    C = C / np.linalg.norm(C, axis=1, keepdims=True)
-    cids = np.asarray([c for c, _ in centroids], dtype=np.int64)
+    (cosine; row norm is a positive scale, so argmax over unit-centroid
+    dots suffices).  Pure JVM SQL: one sortable struct per centroid
+    (-dot, index, cid), array_sort picks the max-dot / first-index
+    winner — each fold is evaluated exactly once per row, and the math
+    is byte-identical to the DuckDB twin (duck_ivf_topk_sql)."""
+    cn = _norm_centroids(centroids)
+    d = emb
+    vec_d = f"transform({vec_col}, v -> cast(v as double))"
+    structs = []
+    for j, (cid, c) in enumerate(cn):
+        col = f"__ivf{j}"
+        d = d.withColumn(col, F.array(*[F.lit(float(v)) for v in c]))
+        # tie-break on cid (ascending) — matches the oracle's window order
+        structs.append(
+            f"struct(-({_dot_sql(vec_d, col)}) AS s, {cid}L AS cid)"
+        )
+    expr = (
+        "element_at(array_sort(array(" + ", ".join(structs) + ")), 1).cid"
+    )
+    return d.withColumn(out, F.expr(expr)).drop(
+        *[f"__ivf{j}" for j in range(len(cn))]
+    )
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
-            sims = M @ C.T
-            pdf[out] = cids[np.argmax(sims, axis=1)]
-            yield pdf
 
-    out_schema = emb.withColumn(out, F.lit(0).cast("long")).schema
-    return emb.mapInPandas(kernel, schema=out_schema)
+def query_probes(query_vec: list, centroids: list, n_probe: int) -> list:
+    """The n_probe centroid ids nearest the query, ranked by the SAME
+    sequential-fold dots (desc) with cid-ascending tie-break."""
+    cn = _norm_centroids(centroids)
+    sims = _centroid_sims(query_vec, cn)
+    order = sorted(range(len(cn)), key=lambda i: (-sims[i], cn[i][0]))
+    return [cn[i][0] for i in order[:n_probe]]
 
 
 def ivf_topk(
@@ -200,18 +241,16 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF-bucketed cosine top-k: probe the n_probe centroids nearest
     the query, exact-rescore only their members (the scale path beside
-    lsh_topk; recall measured in tests/test_ann_salting.py)."""
-    q = np.asarray(query_vec, dtype=np.float64)
-    qn = float(np.linalg.norm(q))
-    C = np.stack([np.asarray(v, dtype=np.float64) for _, v in centroids])
-    C = C / np.linalg.norm(C, axis=1, keepdims=True)
-    cids = [c for c, _ in centroids]
-    sims = (C @ (q / qn))
-    probes = [cids[i] for i in np.argsort(-sims)[:n_probe]]
+    lsh_topk; recall measured in tests).  Fully oracle-checkable."""
+    probes = query_probes(query_vec, centroids, n_probe)
 
     bucketed = with_ivf_cell(emb, centroids, vec_col=vec_col)
     cand = bucketed.filter(F.col("ivf_cell").isin([int(p) for p in probes]))
 
+    acc = 0.0
+    for v in query_vec:
+        acc += float(v) * float(v)
+    qn = acc ** 0.5
     d = cand.select(
         id_col,
         F.expr(f"transform({vec_col}, v -> cast(v as double))").alias("emb"),
@@ -222,8 +261,55 @@ def ivf_topk(
     nrm = F.expr(
         "sqrt(aggregate(transform(emb, a -> a * a), 0D, (acc, v) -> acc + v))"
     )
-    scored = d.withColumn("cos", dot / (nrm * F.lit(qn)))
+    scored = d.withColumn("cos", F.round(dot / (nrm * F.lit(qn)), 6))
     return ranked_topk(scored, id_col, k)
+
+
+def duck_ivf_topk_sql(
+    n_centroids: int = 16,
+    k: int = 20,
+    n_probe: int = 2,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: int = 0,
+) -> str:
+    """DuckDB twin of ivf_topk with BOTH the query vector and the
+    centroids (rows {id_col} < n_centroids, normalized in SQL with the
+    same sequential folds as _norm_centroids) derived from the table —
+    sf-independent.  Per-row cell = max-dot centroid with first-id
+    tie-break (window), probes ranked the same way, exact round-6
+    rescore, deterministic top-k."""
+    unit = (
+        f"list_transform({vec_col}::DOUBLE[], v -> v / "
+        f"sqrt(list_sum(list_transform({vec_col}::DOUBLE[], w -> w * w))))"
+    )
+    dot_u = "list_sum(list_transform(list_zip({vec}, c.u), p -> p[1] * p[2]))"
+    return (
+        f"WITH q AS (SELECT {vec_col}::DOUBLE[] AS qv FROM {table} "
+        f"WHERE {id_col} = {query_id}), "
+        f"b AS (SELECT {id_col}, {vec_col}::DOUBLE[] AS emb FROM {table}), "
+        f"cent AS (SELECT {id_col} AS cid, {unit} AS u FROM {table} "
+        f"WHERE {id_col} < {n_centroids}), "
+        f"cs AS (SELECT b.{id_col}, b.emb, c.cid, "
+        f"{dot_u.format(vec='b.emb')} AS s FROM b, cent c), "
+        f"cell AS (SELECT {id_col}, emb, cid FROM ("
+        f"SELECT *, row_number() OVER (PARTITION BY {id_col} "
+        "ORDER BY s DESC, cid ASC) AS rn FROM cs) WHERE rn = 1), "
+        f"qcs AS (SELECT c.cid, {dot_u.format(vec='q.qv')} AS s "
+        "FROM q, cent c), "
+        f"probes AS (SELECT cid FROM qcs ORDER BY s DESC, cid ASC "
+        f"LIMIT {n_probe}), "
+        f"scored AS (SELECT c.{id_col}, round("
+        "list_sum(list_transform(list_zip(c.emb, q.qv), p -> p[1] * p[2])) "
+        "/ (sqrt(list_sum(list_transform(c.emb, v -> v * v))) * "
+        "sqrt(list_sum(list_transform(q.qv, v -> v * v)))), 6) AS cos "
+        "FROM cell c, q WHERE c.cid IN (SELECT cid FROM probes)) "
+        f"SELECT {id_col}, rnk, cos FROM ("
+        f"SELECT {id_col}, CAST(row_number() OVER "
+        f"(ORDER BY cos DESC, {id_col}) AS INT) AS rnk, cos FROM scored"
+        f") WHERE rnk <= {k}"
+    )
 
 
 def lsh_topk(
