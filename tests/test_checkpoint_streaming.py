@@ -282,3 +282,51 @@ def test_checkpointed_exactly_once_after_crash(spark, tmp_path):
     assert_no_dupes(resumed)
     assert base.equals(resumed)
     assert not os.path.exists(stg)
+
+
+def test_streaming_stateful_dedupe(spark, tmp_path):
+    """applyInPandasWithState dedupe: first occurrence per phash wins
+    across micro-batches AND across query restarts (state checkpointed);
+    replayed epochs stay exactly-once via the per-epoch overwrite sink."""
+    import pandas as pd
+
+    from geojson_vt_rs_spark.sources.images import generate_images
+    from geojson_vt_rs_spark.streaming.stateful import stream_dedupe_images
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    # two files -> two micro-batches (maxFilesPerTrigger=1) with
+    # overlapping phashes across them
+    generate_images(spark, 150, 2).write.parquet(src + "/f1")
+    spark.read.parquet(src + "/f1").write.mode("append").parquet(src)
+    stream_dedupe_images(spark, src, out, ckpt)
+    first = spark.read.parquet(out).toPandas()
+    want_phashes = {
+        r["phash"]
+        for r in generate_images(spark, 150, 2).select("phash").collect()
+    }
+    assert set(first["phash"]) == want_phashes
+    assert not first["phash"].duplicated().any()
+    # streaming dedupe keeps the FIRST-ARRIVED representative: each
+    # emitted image_id must belong to its phash group (batch order
+    # determines which member, so global-min is not guaranteed)
+    members = {}
+    for r in generate_images(spark, 150, 2).select(
+        "phash", "image_id"
+    ).collect():
+        members.setdefault(r["phash"], set()).add(r["image_id"])
+    for ph, iid in zip(first["phash"], first["image_id"]):
+        assert iid in members[ph]
+
+    # restart with MORE data: rows 0..149 repeat + 150..299 are new;
+    # only never-seen phashes may be emitted
+    g2 = generate_images(spark, 300, 2)
+    g2.write.mode("append").parquet(src)
+    stream_dedupe_images(spark, src, out, ckpt)
+    both = spark.read.parquet(out).toPandas()
+    assert not both["phash"].duplicated().any()
+    all_phashes = {r["phash"] for r in g2.select("phash").collect()}
+    assert set(both["phash"]) == all_phashes
