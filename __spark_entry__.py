@@ -485,7 +485,11 @@ SQL_EVENT_WINDOWS = (
 def q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode path: deterministic synthetic image table ->
     decode (PNG/raw) -> per-format pixel stats via mapInPandas.  Not
-    SQL-expressible (binary decode) -> driver records rows-only."""
+    Per-image luminance is fixed-point (floor(mean * 1e6), an int64) so
+    the cross-row sum is order-independent and the avg an integer-ratio
+    division — byte-identical to the DuckDB twin, which recomputes each
+    image's pixels directly (an INDEPENDENT path: the oracle checks the
+    png encode->decode roundtrip against the raw generator)."""
     import pandas as pd
 
     from geojson_vt_rs_spark.sources.images import decode_image, generate_images
@@ -503,19 +507,45 @@ def q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     dict(
                         fmt=r.fmt,
                         n=1,
-                        mean_lum=float(rgb.astype(np.float64).mean()),
+                        lum_micro=int(
+                            np.floor(rgb.astype(np.float64).mean() * 1e6)
+                        ),
                         px=int(rgb.shape[0] * rgb.shape[1]),
                     )
                 )
-            yield pd.DataFrame(rows, columns=["fmt", "n", "mean_lum", "px"])
+            yield pd.DataFrame(rows, columns=["fmt", "n", "lum_micro", "px"])
 
     d = imgs.mapInPandas(
-        stats, schema="fmt string, n long, mean_lum double, px long"
+        stats, schema="fmt string, n long, lum_micro long, px long"
     )
     return d.groupBy("fmt").agg(
         F.sum("n").alias("n_images"),
         F.sum("px").alias("total_px"),
-        F.round(F.avg("mean_lum"), 3).alias("avg_lum"),
+        (F.sum("lum_micro") / F.sum("n")).alias("avg_lum_micro"),
+    )
+
+
+def _sql_image_stats() -> str:
+    # the image table is a pure function of the row index: recompute
+    # (fmt, lum_micro, px) per image from the raw pixel generator and
+    # inline as VALUES — no decode needed oracle-side
+    import numpy as np
+
+    from geojson_vt_rs_spark.sources.images import _SIZES, make_pixels
+
+    vals = []
+    for i in range(512):
+        w = _SIZES[i % 3]
+        h = _SIZES[(i // 3) % 3]
+        rgb = make_pixels(i, w, h)
+        fmt = "png" if i % 4 != 3 else "raw"
+        lum = int(np.floor(rgb.astype(np.float64).mean() * 1e6))
+        vals.append(f"('{fmt}', CAST({lum} AS BIGINT), CAST({w * h} AS BIGINT))")
+    return (
+        f"WITH p(fmt, lum_micro, px) AS (VALUES {', '.join(vals)}) "
+        "SELECT fmt, count(*) AS n_images, CAST(sum(px) AS BIGINT) AS total_px, "
+        "CAST(sum(lum_micro) AS BIGINT) / count(*) AS avg_lum_micro "
+        "FROM p GROUP BY 1"
     )
 
 
@@ -806,7 +836,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_dups": SQL_FINGERPRINT,
         "cosine_near_dup": _sql_cosine_near_dup(),
         "event_windows": SQL_EVENT_WINDOWS,
-        # image_stats: binary decode, not SQL-expressible -> rows-only
+        "image_stats": _sql_image_stats(),
         "ann_lsh_topk": _sql_ann_lsh_topk(),
         "bpe_token_stats": SQL_BPE_TOKEN_STATS,
         "salted_cell_counts": (
