@@ -342,6 +342,184 @@ def render_stage(df: DataFrame, options) -> DataFrame:
     return df.mapInPandas(kernel, schema=RENDER_SCHEMA)
 
 
+# fused render+split output: one row stream discriminated by row_kind
+RS_RENDER = 0
+RS_CHILD = 1
+
+_RS_RENDER_ONLY = ["sub_idx", "type", "kind", "geometry_json", "tags_json",
+                   "n_emitted"]
+RS_SCHEMA = T.StructType(
+    [T.StructField("row_kind", T.IntegerType(), False)]
+    + list(TILED_FEATURE_SCHEMA.fields)
+    + [
+        T.StructField("sub_idx", T.IntegerType()),
+        T.StructField("type", T.IntegerType()),
+        T.StructField("kind", T.IntegerType()),
+        T.StructField("geometry_json", T.StringType()),
+        T.StructField("tags_json", T.StringType()),
+        T.StructField("n_emitted", T.IntegerType()),
+    ]
+)
+RS_COLS = [f.name for f in RS_SCHEMA.fields]
+
+
+def render_split_stage(df: DataFrame, options: Options) -> DataFrame:
+    """ONE Python pass per pyramid level: renders every row (RS_RENDER
+    rows, the per-feature RENDER_SCHEMA payload) and, for rows whose tile
+    the driver decided to split (action == 'split'), also emits the child
+    features (RS_CHILD rows) — the VtFeature is constructed once and
+    shared by both, and the level runs one Spark job instead of a render
+    job plus a split job.
+
+    The split side keeps split_stage's columnar fast path: bbox-contained
+    rows pass through as pandas slices with no per-feature Python.
+    Input must carry the driver's ``action`` column ('leaf'/'split').
+    """
+    buffer = options.tile.buffer
+    extent = options.tile.extent
+    tol = options.tile.tolerance
+    max_zoom = options.max_zoom
+    lm = options.tile.line_metrics
+    p = 0.5 * buffer / extent
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                yield pd.DataFrame(columns=RS_COLS)
+                continue
+            z = pdf["z"].to_numpy()
+            x = pdf["x"].to_numpy()
+            y = pdf["y"].to_numpy()
+            is_split = (pdf["action"] == "split").to_numpy()
+            wc = pdf["world_copy"].to_numpy()
+            seq = pdf["feature_seq"].to_numpy()
+            sp = pdf["slice_path"].to_numpy()
+
+            # --- vectorized split classification (split rows only) ----
+            xf = x.astype(np.float64)
+            yf = y.astype(np.float64)
+            z2v = np.ldexp(1.0, z.astype(np.int64))
+
+            def classify(c, bmin, bmax):
+                k1a = (c - p) / z2v
+                k2a = (c + 0.5 + p) / z2v
+                k1b = (c + 0.5 - p) / z2v
+                k2b = (c + 1.0 + p) / z2v
+                acc_a = (bmin >= k1a) & (bmax < k2a)
+                rej_a = (bmax < k1a) | (bmin >= k2a)
+                acc_b = (bmin >= k1b) & (bmax < k2b)
+                rej_b = (bmax < k1b) | (bmin >= k2b)
+                return acc_a, rej_a, acc_b, rej_b
+
+            xm = pdf["bbox_min_x"].to_numpy()
+            xM = pdf["bbox_max_x"].to_numpy()
+            ym = pdf["bbox_min_y"].to_numpy()
+            yM = pdf["bbox_max_y"].to_numpy()
+            xa0, xr0, xa1, xr1 = classify(xf, xm, xM)
+            ya0, yr0, ya1, yr1 = classify(yf, ym, yM)
+            trivial = (
+                (xa0 | xr0) & (xa1 | xr1) & (ya0 | yr0) & (ya1 | yr1)
+            )
+            passthrough = is_split & trivial
+            slow_split = is_split & ~trivial
+
+            parts: List[pd.DataFrame] = []
+            # pass-through children: pure pandas slicing
+            for dx, xacc in ((0, xa0), (1, xa1)):
+                for dy, yacc in ((0, ya0), (1, ya1)):
+                    sel = passthrough & xacc & yacc
+                    if not sel.any():
+                        continue
+                    sub = pdf.loc[sel, TILED_COLS].copy(deep=False)
+                    sub["z"] = (z[sel] + 1).astype(sub["z"].dtype)
+                    sub["x"] = (x[sel] * 2 + dx).astype(sub["x"].dtype)
+                    sub["y"] = (y[sel] * 2 + dy).astype(sub["y"].dtype)
+                    sub.insert(0, "row_kind", RS_CHILD)
+                    for c in _RS_RENDER_ONLY:
+                        sub[c] = None  # explicit nulls (no NaN columns)
+                    parts.append(sub)
+
+            # one per-feature pass: render everything, clip straddlers
+            out: List[dict] = []
+            for i, f in enumerate(pdf_to_features(pdf)):
+                zi, xi, yi = int(z[i]), int(x[i]), int(y[i])
+                z2 = float(1 << zi)
+                tolerance = (
+                    0.0 if zi == max_zoom else tol / (z2 * extent)
+                )
+                em = TileEmitter(zi, xi, yi, extent, tolerance, lm)
+                em.add_feature(f)
+                base = dict.fromkeys(RS_COLS) | dict(
+                    row_kind=RS_RENDER, z=zi, x=xi, y=yi,
+                    world_copy=int(wc[i]), feature_seq=int(seq[i]),
+                    slice_path=sp[i],
+                )
+                if not em.features:
+                    if em.num_simplified:
+                        out.append(
+                            base | dict(sub_idx=-1, n_emitted=em.num_simplified)
+                        )
+                else:
+                    for si, tf in enumerate(em.features):
+                        out.append(
+                            base
+                            | dict(
+                                sub_idx=si,
+                                type=tf["type"],
+                                kind=tf["kind"],
+                                geometry_json=json.dumps(
+                                    tf["geometry"], separators=(",", ":")
+                                ),
+                                tags_json=(
+                                    None
+                                    if tf["tags"] is None
+                                    else json.dumps(
+                                        tf["tags"], separators=(",", ":")
+                                    )
+                                ),
+                                id_str=tf["id_str"],
+                                id_num=tf["id_num"],
+                                id_float=tf["id_float"],
+                                n_emitted=(
+                                    em.num_simplified if si == 0 else 0
+                                ),
+                            )
+                        )
+                if slow_split[i]:
+                    left = clip_feature(
+                        f, 0, (xi - p) / z2, (xi + 0.5 + p) / z2, lm
+                    )
+                    right = clip_feature(
+                        f, 0, (xi + 0.5 - p) / z2, (xi + 1.0 + p) / z2, lm
+                    )
+                    for dx, half in ((0, left), (1, right)):
+                        for lf in half:
+                            top = clip_feature(
+                                lf, 1, (yi - p) / z2, (yi + 0.5 + p) / z2, lm
+                            )
+                            bot = clip_feature(
+                                lf, 1, (yi + 0.5 - p) / z2,
+                                (yi + 1.0 + p) / z2, lm,
+                            )
+                            for dy, quarter in ((0, top), (1, bot)):
+                                for qf in quarter:
+                                    row = dict.fromkeys(RS_COLS)
+                                    row.update(feature_to_row(qf))
+                                    row["row_kind"] = RS_CHILD
+                                    row["z"] = zi + 1
+                                    row["x"] = xi * 2 + dx
+                                    row["y"] = yi * 2 + dy
+                                    out.append(row)
+            if out:
+                parts.append(pd.DataFrame(out, columns=RS_COLS))
+            if parts:
+                yield pd.concat(parts, ignore_index=True)[RS_COLS]
+            else:
+                yield pd.DataFrame(columns=RS_COLS)
+
+    return df.mapInPandas(kernel, schema=RS_SCHEMA)
+
+
 def _emit_rows(
     feats_pdf: pd.DataFrame,
     z: int,

@@ -367,7 +367,11 @@ class SparkGeoJSONVT:
            a z0 root with millions of features stays fully parallel;
            only bounded 'fuse' groups use applyInPandas.
         """
-        from geojson_vt_rs_spark.operators.pipeline import render_stage, split_stage
+        from geojson_vt_rs_spark.operators.pipeline import (
+            RS_CHILD,
+            RS_RENDER,
+            render_split_stage,
+        )
 
         o = self.options
         spark = self.spark
@@ -424,9 +428,24 @@ class SparkGeoJSONVT:
             )
             fr = frontier.join(F.broadcast(ddf), ["z", "x", "y"]).persist()
 
-            # per-row render of every non-fused live tile
-            nonfuse = fr.filter(F.col("action") != "fuse").drop("action")
-            rend = render_stage(nonfuse, o).toPandas()
+            # ONE fused per-row pass renders every non-fused live tile AND
+            # clips split-tile children (the VtFeature is built once; one
+            # Spark job instead of a render job + a split job per level)
+            nonfuse = fr.filter(F.col("action") != "fuse")
+            # localCheckpoint truncates the per-level lineage: without it
+            # each level's logical plan embeds every previous level's and
+            # analysis cost compounds (measured 4x wall blowup by z5 on a
+            # no-fuse us-states build)
+            step2 = render_split_stage(nonfuse, o).localCheckpoint(eager=False)
+            rend = (
+                step2.filter(F.col("row_kind") == RS_RENDER)
+                .select(
+                    "z", "x", "y", "world_copy", "feature_seq", "slice_path",
+                    "sub_idx", "type", "kind", "geometry_json", "tags_json",
+                    "id_str", "id_num", "id_float", "n_emitted",
+                )
+                .toPandas()
+            )
             _t_rend = _time.time()
             frontier.unpersist()
             rend_groups = (
@@ -506,8 +525,9 @@ class SparkGeoJSONVT:
                     f"rest={_time.time() - _t_rend:.1f}s",
                     flush=True,
                 )
+            fr.unpersist()
             if not split_parents:
-                fr.unpersist()
+                step2.unpersist()
                 return
             pending_children = [
                 (z + 1, 2 * x + dx, 2 * y + dy)
@@ -515,10 +535,10 @@ class SparkGeoJSONVT:
                 for dx in (0, 1)
                 for dy in (0, 1)
             ]
-            frontier = split_stage(
-                fr.filter(F.col("action") == "split").drop("action"), o
+            frontier = step2.filter(F.col("row_kind") == RS_CHILD).select(
+                *TILED_COLS
             )
-            prev = fr
+            prev = step2
 
     # ------------------------------------------------------------------
     def find_parent(self, z, x, y):
