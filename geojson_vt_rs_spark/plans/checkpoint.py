@@ -130,7 +130,11 @@ class CheckpointedPyramid:
 
         from pyspark.sql import Window
 
-        from geojson_vt_rs_spark.operators.pipeline import render_stage, split_stage
+        from geojson_vt_rs_spark.operators.pipeline import (
+            RS_CHILD,
+            RS_RENDER,
+            render_split_stage,
+        )
         from geojson_vt_rs_spark.plans.pyramid import fuse_bound
 
         tiles_path = os.path.join(out_dir, "tiles")
@@ -210,14 +214,16 @@ class CheckpointedPyramid:
             )
             fr = frontier.join(F.broadcast(ddf), ["z", "x", "y"]).persist()
 
-            # per-row render of non-fused tiles; feature_idx from the
+            # ONE fused per-row pass renders non-fused tiles AND clips
+            # split children (see plans/pyramid.py); feature_idx from the
             # deterministic order key via a ranking window
             w = Window.partitionBy("z", "x", "y").orderBy(
                 "world_copy", "feature_seq", "slice_path", "sub_idx"
             )
-            rend = render_stage(
-                fr.filter(F.col("action") != "fuse").drop("action"), o
+            step2 = render_split_stage(
+                fr.filter(F.col("action") != "fuse"), o
             ).persist()
+            rend = step2.filter(F.col("row_kind") == RS_RENDER)
             rend.filter(F.col("sub_idx") >= 0).withColumn(
                 "feature_idx", F.row_number().over(w) - 1
             ).select(
@@ -238,7 +244,6 @@ class CheckpointedPyramid:
                 )
                 .toPandas()
             )
-            rend.unpersist()
             frontier.unpersist()
             ns_map = {
                 (int(r.z), int(r.x), int(r.y)): (int(r.ns), int(r.nf))
@@ -297,8 +302,8 @@ class CheckpointedPyramid:
             ]
             n_children = 0
             if split_parents:
-                children = split_stage(
-                    fr.filter(F.col("action") == "split").drop("action"), o
+                children = step2.filter(F.col("row_kind") == RS_CHILD).select(
+                    *TILED_COLS
                 )
                 children.write.mode("overwrite").parquet(
                     os.path.join(out_dir, "frontier", f"level_{level + 1}")
@@ -308,6 +313,7 @@ class CheckpointedPyramid:
                         os.path.join(out_dir, "frontier", f"level_{level + 1}")
                     ).count()
                 )
+            step2.unpersist()
             pending_children = [
                 (z + 1, 2 * x + dx, 2 * y + dy)
                 for z, x, y in split_parents
