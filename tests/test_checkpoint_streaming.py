@@ -330,3 +330,56 @@ def test_streaming_stateful_dedupe(spark, tmp_path):
     assert not both["phash"].duplicated().any()
     all_phashes = {r["phash"] for r in g2.select("phash").collect()}
     assert set(both["phash"]) == all_phashes
+
+
+def test_streaming_watermarked_windows_drop_late(spark, tmp_path):
+    """Watermarked tumbling windows (append mode): a row arriving after
+    the watermark passed its window's end is DROPPED — the closed
+    window's count excludes it; an in-watermark straggler still counts."""
+    import datetime as dt
+
+    from geojson_vt_rs_spark.streaming.ingest import (
+        EVENT_SCHEMA,
+        stream_windowed_event_counts,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    def rows(*ts_hours):
+        base = dt.datetime(2026, 1, 1)
+        return [
+            (i, base + dt.timedelta(hours=h), 1, "click", 1.0, None)
+            for i, h in enumerate(ts_hours)
+        ]
+
+    # run 1: hours 0.5, 1.5, 5.0 -> watermark persists in the stream
+    # checkpoint as 5h - 1h = 4h, closing the [0,1) and [1,2) windows
+    spark.createDataFrame(rows(0.5, 1.5, 5.0), EVENT_SCHEMA).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    stream_windowed_event_counts(spark, src, out, ckpt)
+    got1 = {
+        r["win_start"].hour: r["n"]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got1.get(0) == 1 and got1.get(1) == 1
+    assert 5 not in got1  # its window end is past the watermark
+
+    # run 2 (resumes the checkpointed watermark=4h): a LATE row for hour
+    # 0.7 (window closed -> DROPPED) and an in-watermark row for 4.5
+    spark.createDataFrame(rows(0.7, 4.5), EVENT_SCHEMA).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    stream_windowed_event_counts(spark, src, out, ckpt)
+    got2 = {
+        r["win_start"].hour: r["n"]
+        for r in spark.read.parquet(out).collect()
+    }
+    # closed windows unchanged: the late 0.7 row was dropped
+    assert got2.get(0) == 1
+    assert got2.get(1) == 1
+    # [4,5) and [5,6) still open (watermark stays 4h; 4.5 is buffered)
+    assert 4 not in got2 and 5 not in got2
