@@ -181,6 +181,17 @@ def main():
     out["vt_total_tiles"] = vt_total
     out["graft_counts"] = g
     out["images_rows_per_sec"] = round(g["rows"] / timings["graft_images"], 1)
+    # round-2 additions, timed separately so the headline total stays
+    # comparable across rounds
+    import __spark_entry__ as em
+
+    extra = {}
+    for name in ("ann_lsh_topk", "ann_ivf_topk", "cosine_near_dup",
+                 "simhash_near_pairs", "phash_near_dups"):
+        t0 = time.time()
+        em.queries()[name](spark, SF_DIR).count()
+        extra[name] = round(time.time() - t0, 3)
+    out["extra_queries"] = extra
     n_tiles, tps = run_vt_countries_single_node()
     out["countries_single_node_tiles"] = n_tiles
     out["countries_single_node_tiles_per_sec"] = tps
