@@ -39,6 +39,43 @@ from geojson_vt_rs_spark.functions.mercator import (
 
 US_STATES = "/root/reference/fixtures/us-states.json"
 
+_SHIPPED_SESSIONS: set = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make geojson_vt_rs_spark importable in EXECUTOR Python workers
+    regardless of how the session was launched (addPyFile propagates
+    after session start, unlike PYTHONPATH): queries using mapInPandas/
+    applyInPandas pickle their kernels by reference and the worker must
+    import the package."""
+    key = id(spark.sparkContext)
+    if key in _SHIPPED_SESSIONS:
+        return
+    import os
+    import tempfile
+    import zipfile
+
+    import geojson_vt_rs_spark
+
+    pkg_dir = os.path.dirname(os.path.abspath(geojson_vt_rs_spark.__file__))
+    zip_path = os.path.join(
+        tempfile.gettempdir(), "geojson_vt_rs_spark_entry.zip"
+    )
+    if not os.path.exists(zip_path):
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fn in files:
+                    if not fn.endswith(".py"):
+                        continue
+                    full = os.path.join(root, fn)
+                    rel = os.path.join(
+                        "geojson_vt_rs_spark",
+                        os.path.relpath(full, pkg_dir),
+                    )
+                    zf.write(full, rel)
+    spark.sparkContext.addPyFile(zip_path)
+    _SHIPPED_SESSIONS.add(key)
+
 
 def _orders_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/orders.parquet")
@@ -704,6 +741,7 @@ SQL_VT_TOTAL = (
 # ----------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: batched quad-cell assignment + per-cell counts at sf0.001."""
+    _ship_package(spark)
     return q_cell_assign(spark, "/root/testdata/sf0.001")
 
 
@@ -779,7 +817,24 @@ def _sql_ann_topk(k: int = 20) -> str:
     )
 
 
+def _shipped(fn):
+    def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ship_package(spark)
+        return fn(spark, sf_dir)
+
+    wrapper.__name__ = fn.__name__
+    wrapper.__doc__ = fn.__doc__
+    return wrapper
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        name: _shipped(fn)
+        for name, fn in _raw_queries().items()
+    }
+
+
+def _raw_queries() -> dict:
     return {
         "cell_assign": q_cell_assign,
         "tile_stats_per_zoom": q_tile_stats_per_zoom,
