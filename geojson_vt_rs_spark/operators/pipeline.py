@@ -436,7 +436,11 @@ def render_split_stage(df: DataFrame, options: Options) -> DataFrame:
                     sub["y"] = (y[sel] * 2 + dy).astype(sub["y"].dtype)
                     sub.insert(0, "row_kind", RS_CHILD)
                     for c in _RS_RENDER_ONLY:
-                        sub[c] = None  # explicit nulls (no NaN columns)
+                        # explicit object-dtype nulls: keeps Arrow types
+                        # clean and silences pandas' all-NA concat warning
+                        sub[c] = pd.Series(
+                            [None] * len(sub), dtype=object, index=sub.index
+                        )
                     parts.append(sub)
 
             # one per-feature pass: render everything, clip straddlers
