@@ -383,3 +383,33 @@ def test_streaming_watermarked_windows_drop_late(spark, tmp_path):
     assert got2.get(1) == 1
     # [4,5) and [5,6) still open (watermark stays 4h; 4.5 is buffered)
     assert 4 not in got2 and 5 not in got2
+
+
+def test_drilldown_crash_window_retry(spark, tmp_path):
+    """get_tile drill-down commit protocol: simulate a crash AFTER the
+    leaves rename but BEFORE the tiles rename (tiles is the commit
+    point) — a retried get_tile must recompute and return the exact
+    tile with no duplicate rows."""
+    import shutil as _sh
+
+    from geojson_vt_rs_spark.plans.pyramid import SparkGeoJSONVT
+
+    out = str(tmp_path / "pyr_dc")
+    feats = read_geojson_features(
+        spark, "/root/reference/fixtures/us-states.json"
+    )
+    opts = Options()
+    cp = CheckpointedPyramid(spark, opts)
+    cp.run(feats, out)
+
+    # full drill (ground truth)
+    want = cp.get_tile(out, 7, 37, 48).toPandas()
+    mem = SparkGeoJSONVT(spark, feats, opts)
+    assert len(want) == len(mem.get_tile(7, 37, 48).features)
+
+    # roll back to the crash window: remove the committed drill tiles dir
+    # but LEAVE the drill leaves dir (as if we died between the renames)
+    _sh.rmtree(os.path.join(out, "tiles", "level=drill_7_37_48"))
+    again = cp.get_tile(out, 7, 37, 48).toPandas()
+    assert len(again) == len(want)
+    assert not again.duplicated(subset=["feature_idx"]).any()

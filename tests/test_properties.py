@@ -237,3 +237,30 @@ def test_simplify_tie_with_tightened_midpoint():
     _scalar_only_simplify(xs, ys, zb, 0.5)
     assert np.array_equal(za, zb)
     assert za[20] == 9.0
+
+
+@given(
+    hashes=st.lists(
+        st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        min_size=2,
+        max_size=40,
+    ),
+    hamming_max=st.integers(min_value=0, max_value=6),
+)
+@settings(max_examples=60, deadline=None)
+def test_band_offsets_pigeonhole_complete(hashes, hamming_max):
+    """Pure-python check of the pigeonhole guarantee behind
+    hamming_near_pairs: any pair with hamming <= t agrees on at least one
+    of the t+1 bands, for arbitrary 64-bit values including negatives."""
+    from geojson_vt_rs_spark.operators.ann import _band_offsets
+
+    bands = _band_offsets(64, hamming_max + 1)
+    m64 = (1 << 64) - 1
+    for i in range(len(hashes)):
+        for j in range(i + 1, len(hashes)):
+            a, b = hashes[i] & m64, hashes[j] & m64
+            if bin(a ^ b).count("1") <= hamming_max:
+                assert any(
+                    (a >> off) & ((1 << w) - 1) == (b >> off) & ((1 << w) - 1)
+                    for off, w in bands
+                )
