@@ -123,6 +123,43 @@ def run_vt_countries_single_node():
     return idx.total, round(idx.total / dt, 1)
 
 
+def run_vt_countries_traverse(max_z: int | None = None):
+    """The reference's TraverseTilePyramid shape (benches/benchmark.rs:
+    34-61): countries.geojson index at index_max_zoom=7/index_max_points=
+    200, get_tile for EVERY (z,x,y) with z < max_z, drill-down misses and
+    parentless regions included.  Criterion's b.iter reaches steady state
+    after the first iteration (all drills memoized), so we report BOTH the
+    cold pass (first-touch drills) and the warm steady-state rate — the
+    latter is the comparable number.  Default max_z=9 (87,381 lookups)
+    keeps bench wall bounded; SPARK_GRAFT_TRAVERSE_Z=11 reproduces the
+    reference's 1,398,101-lookup sweep."""
+    from geojson_vt_rs_spark.config import Options
+    from geojson_vt_rs_spark.core.tiler import GeoJSONVT
+    from geojson_vt_rs_spark.sources.geojson import load_geojson_file
+
+    if max_z is None:
+        max_z = int(os.environ.get("SPARK_GRAFT_TRAVERSE_Z", "9"))
+    feats = load_geojson_file("/root/reference/data/countries.geojson")
+    idx = GeoJSONVT(feats, Options(index_max_zoom=7, index_max_points=200))
+
+    def sweep():
+        n = 0
+        t0 = time.time()
+        for z in range(max_z):
+            for x in range(1 << z):
+                for y in range(1 << z):
+                    try:
+                        idx.get_tile(z, x, y)
+                    except LookupError:
+                        pass
+                    n += 1
+        return n, time.time() - t0
+
+    n, cold = sweep()
+    _, warm = sweep()
+    return n, round(n / cold, 1), round(n / warm, 1)
+
+
 def _run_headline(spark, sf_dir):
     import __spark_entry__ as em
 
@@ -195,6 +232,10 @@ def main():
     n_tiles, tps = run_vt_countries_single_node()
     out["countries_single_node_tiles"] = n_tiles
     out["countries_single_node_tiles_per_sec"] = tps
+    n_lookups, cold_lps, warm_lps = run_vt_countries_traverse()
+    out["countries_traverse_lookups"] = n_lookups
+    out["countries_traverse_cold_lookups_per_sec"] = cold_lps
+    out["countries_traverse_warm_lookups_per_sec"] = warm_lps
     spark.stop()
 
     if os.environ.get("SPARK_GRAFT_SCALING") == "1":
