@@ -51,6 +51,7 @@ def _ship_package(spark: SparkSession) -> None:
     key = id(spark.sparkContext)
     if key in _SHIPPED_SESSIONS:
         return
+    import hashlib
     import os
     import tempfile
     import zipfile
@@ -58,21 +59,37 @@ def _ship_package(spark: SparkSession) -> None:
     import geojson_vt_rs_spark
 
     pkg_dir = os.path.dirname(os.path.abspath(geojson_vt_rs_spark.__file__))
+    sources = []
+    for root, _dirs, files in os.walk(pkg_dir):
+        for fn in sorted(files):
+            if fn.endswith(".py"):
+                sources.append(os.path.join(root, fn))
+    sources.sort()
+    # name the zip by a content hash of the package sources: executors
+    # shadow PYTHONPATH with addPyFile'd code, so a stale fixed-path zip
+    # would silently run old kernels after a source edit; a per-content
+    # name also avoids clobber races between concurrent local sessions.
+    digest = hashlib.md5()
+    for full in sources:
+        with open(full, "rb") as f:
+            digest.update(full.encode())
+            digest.update(f.read())
     zip_path = os.path.join(
-        tempfile.gettempdir(), "geojson_vt_rs_spark_entry.zip"
+        tempfile.gettempdir(),
+        f"geojson_vt_rs_spark_entry_{os.getuid()}_{digest.hexdigest()[:16]}.zip",
     )
     if not os.path.exists(zip_path):
-        with zipfile.ZipFile(zip_path, "w") as zf:
-            for root, _dirs, files in os.walk(pkg_dir):
-                for fn in files:
-                    if not fn.endswith(".py"):
-                        continue
-                    full = os.path.join(root, fn)
-                    rel = os.path.join(
-                        "geojson_vt_rs_spark",
-                        os.path.relpath(full, pkg_dir),
-                    )
-                    zf.write(full, rel)
+        tmp_fd, tmp_path = tempfile.mkstemp(
+            suffix=".zip", dir=tempfile.gettempdir()
+        )
+        os.close(tmp_fd)
+        with zipfile.ZipFile(tmp_path, "w") as zf:
+            for full in sources:
+                rel = os.path.join(
+                    "geojson_vt_rs_spark", os.path.relpath(full, pkg_dir)
+                )
+                zf.write(full, rel)
+        os.replace(tmp_path, zip_path)  # atomic: concurrent builders agree
     spark.sparkContext.addPyFile(zip_path)
     _SHIPPED_SESSIONS.add(key)
 
@@ -382,7 +399,8 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash fingerprints (md5 word hashes, majority bit vote)."""
+    """64-bit SimHash fingerprints (one md5 per token, majority bit vote
+    folded over the materialized hash array — production width)."""
     from geojson_vt_rs_spark.operators.text_dedup import with_simhash
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -391,7 +409,7 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ALL SimHash pairs with hamming <= 3 via pigeonhole multi-band
-    blocking (4 x 4-bit band equi-joins, union, distinct) — complete and
+    blocking (4 x 16-bit band equi-joins, union, distinct) — complete and
     scale-safe; the oracle is the exact all-pairs filter."""
     from geojson_vt_rs_spark.operators.text_dedup import simhash_near_pairs
 
@@ -775,9 +793,9 @@ def _sql_quality() -> str:
 
 
 def _sql_simhash() -> str:
-    from geojson_vt_rs_spark.operators.text_dedup import duck_simhash_sql_expr
+    from geojson_vt_rs_spark.operators.text_dedup import duck_simhash_sql
 
-    return f"SELECT doc_id, {duck_simhash_sql_expr()} AS simhash FROM documents"
+    return duck_simhash_sql("documents")
 
 
 def _sql_simhash_near_pairs() -> str:

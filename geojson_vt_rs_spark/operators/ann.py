@@ -360,7 +360,14 @@ def lsh_topk(
 
 def _band_offsets(bits: int, n_bands: int) -> list:
     """Split [0, bits) into n_bands contiguous (offset, width) bands,
-    widths as even as possible."""
+    widths as even as possible.  A zero-width band would mask every row
+    to bval 0 — silently degrading the equi-join to an all-pairs join —
+    so n_bands > bits is rejected outright."""
+    if n_bands > bits:
+        raise ValueError(
+            f"pigeonhole blocking needs n_bands <= bits ({n_bands} > {bits}): "
+            "a zero-width band would bucket every row together"
+        )
     base, rem = divmod(bits, n_bands)
     out, off = [], 0
     for i in range(n_bands):

@@ -58,6 +58,26 @@ def _write_manifest(out_dir: str, name: str, payload: dict) -> None:
     os.replace(tmp, path)  # atomic completion marker
 
 
+def _sweep_drill_orphans(out_dir: str) -> list:
+    """Remove leaves/level=drill_* dirs whose matching tiles/level=drill_*
+    commit never landed.  get_tile publishes leaves FIRST (the tiles rename
+    is the commit point), so a crash in between strands orphan leaf rows
+    that any reader scanning the leaves root would otherwise see until that
+    exact tile is re-drilled.  Returns the swept dir names."""
+    leaves_root = os.path.join(out_dir, "leaves")
+    tiles_root = os.path.join(out_dir, "tiles")
+    swept = []
+    if not os.path.isdir(leaves_root):
+        return swept
+    for d in os.listdir(leaves_root):
+        if not d.startswith("level=drill_"):
+            continue
+        if not os.path.isdir(os.path.join(tiles_root, d)):
+            shutil.rmtree(os.path.join(leaves_root, d), ignore_errors=True)
+            swept.append(d)
+    return swept
+
+
 def _read_manifest(out_dir: str, name: str) -> Optional[dict]:
     path = _manifest_path(out_dir, name)
     if not os.path.exists(path):
@@ -95,6 +115,7 @@ class CheckpointedPyramid:
         spark = self.spark
         kernel = _level_kernel(o, 0, 0, 0, force_subtree=True)
         os.makedirs(out_dir, exist_ok=True)
+        _sweep_drill_orphans(out_dir)
 
         level = 0
         frontier = None
@@ -386,6 +407,7 @@ class CheckpointedPyramid:
         o = self.options
         if z > o.max_zoom:
             raise ValueError(f"Requested zoom higher than maxZoom: {z}")
+        _sweep_drill_orphans(out_dir)
         z2 = 1 << z
         x = ((x_ % z2) + z2) % z2
         if self._tile_exists(out_dir, z, x, y):

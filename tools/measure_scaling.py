@@ -73,10 +73,14 @@ def _gen_only(spark, cpus, n):
 
 
 def _measure(job, cpus):
-    """Best clean (low-steal) run of `job(spark, cpus) -> rows_per_sec`."""
+    """Best CLEAN (steal <= gate) run of `job(spark, cpus) -> rows_per_sec`.
+    Dirty (high-steal) runs never enter `best` — a lucky dirty run must not
+    skew the efficiency number; if no clean run happens within MAX_TRIES we
+    fall back to the best dirty run and record which case applied."""
     from geojson_vt_rs_spark.operators.session import get_spark
 
-    best, best_steal = 0.0, 1.0
+    best_clean, best_clean_steal = 0.0, 1.0
+    best_dirty, best_dirty_steal = 0.0, 1.0
     for t in range(MAX_TRIES):
         s = get_spark(app_name=f"scal{cpus}-{time.monotonic_ns()}", cpus=cpus)
         v0 = _cpu()
@@ -85,11 +89,16 @@ def _measure(job, cpus):
         s.stop()
         print(f"local[{cpus}]: {rps:.0f} rows/s steal={100 * steal:.1f}%",
               flush=True)
-        if rps > best:
-            best, best_steal = rps, steal
         if steal <= STEAL_GATE:
+            if rps > best_clean:
+                best_clean, best_clean_steal = rps, steal
+        elif rps > best_dirty:
+            best_dirty, best_dirty_steal = rps, steal
+        if best_clean > 0.0:
             break
-    return best, best_steal
+    if best_clean > 0.0:
+        return best_clean, best_clean_steal, "clean"
+    return best_dirty, best_dirty_steal, "dirty_fallback"
 
 
 def main():
@@ -102,10 +111,10 @@ def main():
     def gen_job(s, c):
         return _gen_only(s, c, N)
 
-    full, gen = {}, {}
+    full, gen, run_kind = {}, {}, {}
     for c in sorted({c for pair in PAIRS for c in pair}):
-        full[c], _ = _measure(full_job, c)
-        gen[c], _ = _measure(gen_job, c)
+        full[c], _, run_kind[f"full[{c}]"] = _measure(full_job, c)
+        gen[c], _, run_kind[f"gen[{c}]"] = _measure(gen_job, c)
 
     control = raw_control()
     eff = {f"{a}->{b}": round(full[b] / (4.0 * full[a]), 3) for a, b in PAIRS}
@@ -116,6 +125,7 @@ def main():
     payload = dict(
         n_rows=N,
         steal_gate=STEAL_GATE,
+        run_kind=run_kind,
         full_pipeline_rows_per_sec=full,
         gen_kernel_rows_per_sec=gen,
         efficiency=eff,
