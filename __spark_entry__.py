@@ -539,7 +539,7 @@ SQL_EVENT_WINDOWS = (
 
 def q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode path: deterministic synthetic image table ->
-    decode (PNG/raw) -> per-format pixel stats via mapInPandas.  Not
+    decode (PNG/JPEG/raw) -> per-format pixel stats via mapInPandas.  Not
     Per-image luminance is fixed-point (floor(mean * 1e6), an int64) so
     the cross-row sum is order-independent and the avg an integer-ratio
     division — byte-identical to the DuckDB twin, which recomputes each
@@ -583,17 +583,25 @@ def q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sql_image_stats() -> str:
     # the image table is a pure function of the row index: recompute
     # (fmt, lum_micro, px) per image from the raw pixel generator and
-    # inline as VALUES — no decode needed oracle-side
+    # inline as VALUES — no decode needed oracle-side for the lossless
+    # formats (so the VALUES independently check the png encode->decode
+    # roundtrip); jpeg is lossy, so its luminance is recomputed through
+    # the deterministic encode->decode roundtrip (checks plumbing +
+    # codec determinism; codec fidelity has its own PSNR gate in
+    # tests/test_graft.py)
     import numpy as np
 
     from geojson_vt_rs_spark.sources.images import _SIZES, make_pixels
+    from geojson_vt_rs_spark.sources.jpeg import decode_jpeg, encode_jpeg
 
     vals = []
     for i in range(512):
         w = _SIZES[i % 3]
         h = _SIZES[(i // 3) % 3]
         rgb = make_pixels(i, w, h)
-        fmt = "png" if i % 4 != 3 else "raw"
+        fmt = ("png", "png", "jpeg", "raw")[i % 4]
+        if fmt == "jpeg":
+            rgb = decode_jpeg(encode_jpeg(rgb))
         lum = int(np.floor(rgb.astype(np.float64).mean() * 1e6))
         vals.append(f"('{fmt}', CAST({lum} AS BIGINT), CAST({w * h} AS BIGINT))")
     return (
@@ -601,6 +609,47 @@ def _sql_image_stats() -> str:
         "SELECT fmt, count(*) AS n_images, CAST(sum(px) AS BIGINT) AS total_px, "
         "CAST(sum(lum_micro) AS BIGINT) / count(*) AS avg_lum_micro "
         "FROM p GROUP BY 1"
+    )
+
+
+_N_VIDEOS = 40
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling: deterministic synthetic video table (half
+    VTV1 containers with PNG-compressed frames, half raw concatenated
+    frames) -> every-4th-frame sample via mapInPandas -> fixed-point
+    mean luminance per sampled frame.  The oracle recomputes each
+    frame's luminance from the raw generator, independently checking
+    BOTH decode paths (vtv container parse + png frame decode, raw
+    reshape)."""
+    from geojson_vt_rs_spark.operators.multimodal import (
+        frame_sample,
+        generate_videos,
+    )
+
+    vids = generate_videos(spark, _N_VIDEOS, 8)
+    return frame_sample(vids, every=4).select(
+        "video_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.floor(F.col("mean_lum") * 1e6).cast("long").alias("lum_micro"),
+    )
+
+
+def _sql_frame_sample() -> str:
+    import numpy as np
+
+    from geojson_vt_rs_spark.operators.multimodal import make_frames
+
+    vals = []
+    for i in range(_N_VIDEOS):
+        frames = make_frames(i)
+        for fi in range(0, len(frames), 4):
+            lum = int(np.floor(frames[fi].astype(np.float64).mean() * 1e6))
+            vals.append(f"('vid{i:06d}', {fi}, CAST({lum} AS BIGINT))")
+    return (
+        f"SELECT * FROM (VALUES {', '.join(vals)}) "
+        "AS t(video_id, frame_idx, lum_micro)"
     )
 
 
@@ -879,6 +928,7 @@ def _raw_queries() -> dict:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "phash_near_dups": q_phash_near_dups,
+        "frame_sample": q_frame_sample,
         "vt_total_us_states": q_vt_total_us_states,
     }
 
@@ -918,5 +968,6 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ann_ivf_topk": _sql_ann_ivf_topk(),
         "phash_near_dups": _sql_phash_near_dups(),
+        "frame_sample": _sql_frame_sample(),
         "vt_total_us_states": SQL_VT_TOTAL,
     }

@@ -82,6 +82,14 @@ class TileEmitter:
         # faster and compare numerically equal (fixtures hold ints too)
         return np.stack([tx, ty], axis=1).astype(np.int64).tolist()
 
+    def _transform_pre(self, tx, ty) -> list:
+        """Emit PRE-transformed int64 coords (cross-feature columnar path:
+        the whole Arrow batch was transformed in one numpy pass upstream —
+        see pipeline.batch_pre_transform — elementwise identical to
+        _transform, so both paths stay golden-exact)."""
+        self.num_simplified += len(tx)
+        return np.stack([tx, ty], axis=1).tolist()
+
     # --- per-kind emitters ------------------------------------------------
     def _emit(self, tile_type, kind, geometry, tags, ids):
         id_str, id_num, id_float = ids
@@ -97,45 +105,58 @@ class TileEmitter:
             )
         )
 
-    def _line_pts(self, f: VtFeature, p: int) -> list:
+    def _part_pts(self, f: VtFeature, p: int, pre, filter_z: bool) -> list:
+        """Transform part p's points (optionally z-filtered) via either the
+        scalar transform or the batch-precomputed (tx, ty, keep) arrays —
+        `pre` is aligned index-for-index with f.xs."""
+        a, b = int(f.part_offsets[p]), int(f.part_offsets[p + 1])
+        if pre is not None:
+            tx, ty, keep = pre
+            if filter_z:
+                k = keep[a:b]
+                return self._transform_pre(tx[a:b][k], ty[a:b][k])
+            return self._transform_pre(tx[a:b], ty[a:b])
+        px, py, pz = f.part(p)
+        if filter_z:
+            k = pz > self.sq_tolerance
+            return self._transform(px[k], py[k])
+        return self._transform(px, py)
+
+    def _line_pts(self, f: VtFeature, p: int, pre=None) -> list:
         """transform_line_string (tile.rs:318-329)."""
         if float(f.part_dist[p]) > self.tolerance:
-            px, py, pz = f.part(p)
-            keep = pz > self.sq_tolerance
-            return self._transform(px[keep], py[keep])
+            return self._part_pts(f, p, pre, filter_z=True)
         return []
 
-    def _ring_pts(self, f: VtFeature, p: int) -> list:
+    def _ring_pts(self, f: VtFeature, p: int, pre=None) -> list:
         """transform_linear_ring (tile.rs:359-376)."""
         if float(f.part_area[p]) > self.sq_tolerance:
-            px, py, pz = f.part(p)
-            keep = pz > self.sq_tolerance
-            return self._transform(px[keep], py[keep])
+            return self._part_pts(f, p, pre, filter_z=True)
         return []
 
-    def _polygon_rings(self, f: VtFeature, g0: int, g1: int) -> list:
+    def _polygon_rings(self, f: VtFeature, g0: int, g1: int, pre=None) -> list:
         """transform_polygon over parts [g0,g1) — keeps empty rings for
         area-passing rings, like tile.rs:341-349."""
         return [
-            self._ring_pts(f, p)
+            self._ring_pts(f, p, pre)
             for p in range(g0, g1)
             if float(f.part_area[p]) > self.sq_tolerance
         ]
 
-    def _add_geometry(self, f: VtFeature, tags, ids):
+    def _add_geometry(self, f: VtFeature, tags, ids, pre=None):
         gt = f.geom_type
         if gt == GEOM_POINT:
-            px, py, _ = f.part(0)
-            self._emit(TYPE_POINT, gt, self._transform(px, py), tags, ids)
+            self._emit(
+                TYPE_POINT, gt, self._part_pts(f, 0, pre, False), tags, ids
+            )
         elif gt == GEOM_MULTIPOINT:
-            px, py, _ = f.part(0)
-            pts = self._transform(px, py)
+            pts = self._part_pts(f, 0, pre, False)
             if len(pts) == 1:
                 self._emit(TYPE_POINT, GEOM_POINT, pts, tags, ids)
             elif len(pts) > 1:
                 self._emit(TYPE_POINT, gt, pts, tags, ids)
         elif gt == GEOM_LINESTRING:
-            pts = self._line_pts(f, 0)
+            pts = self._line_pts(f, 0, pre)
             if pts:
                 if self.line_metrics:
                     new_tags = dict(tags) if tags else {}
@@ -153,7 +174,7 @@ class TileEmitter:
             # transform_multi_line_string keeps empty inner lines for
             # dist-passing lines (tile.rs:331-339)
             lines = [
-                self._line_pts(f, p)
+                self._line_pts(f, p, pre)
                 for p in range(f.nparts)
                 if float(f.part_dist[p]) > self.tolerance
             ]
@@ -162,14 +183,16 @@ class TileEmitter:
             elif len(lines) > 1:
                 self._emit(TYPE_LINE, gt, lines, tags, ids)
         elif gt == GEOM_POLYGON:
-            rings = self._polygon_rings(f, 0, f.nparts)
+            rings = self._polygon_rings(f, 0, f.nparts, pre)
             if rings:
                 self._emit(TYPE_POLYGON, gt, rings, tags, ids)
         elif gt == GEOM_MULTIPOLYGON:
             polys = []
             ro = f.ring_offsets
             for g in range(len(ro) - 1):
-                rings = self._polygon_rings(f, int(ro[g]), int(ro[g + 1]))
+                rings = self._polygon_rings(
+                    f, int(ro[g]), int(ro[g + 1]), pre
+                )
                 if rings:
                     polys.append(rings)
             if len(polys) == 1:
@@ -179,14 +202,25 @@ class TileEmitter:
         elif gt == GEOM_GEOMETRYCOLLECTION:
             for s in range(len(f.gc_kinds)):
                 sub = subgeom_view(f, s)
-                self._add_geometry(sub, tags, ids)
+                sub_pre = None
+                if pre is not None:
+                    # rebase pre the same way subgeom_view rebases xs
+                    p0 = int(f.gc_part_offsets[s])
+                    p1 = int(f.gc_part_offsets[s + 1])
+                    a = int(f.part_offsets[p0])
+                    b = int(f.part_offsets[p1])
+                    tx, ty, keep = pre
+                    sub_pre = (tx[a:b], ty[a:b], keep[a:b])
+                self._add_geometry(sub, tags, ids, sub_pre)
 
-    def add_feature(self, f: VtFeature):
+    def add_feature(self, f: VtFeature, pre=None):
+        """pre = optional (tx, ty, keep) arrays aligned with f.xs from the
+        cross-feature batch transform (pipeline.batch_pre_transform)."""
         self.num_points += f.num_points
         tags = json.loads(f.props_json) if f.props_json else None
         if tags is not None and not tags:
             tags = None  # empty props -> no tags (tile.rs:86-90)
-        self._add_geometry(f, tags, (f.id_str, f.id_num, f.id_float))
+        self._add_geometry(f, tags, (f.id_str, f.id_num, f.id_float), pre)
 
 
 def _intify(v: float):

@@ -1,19 +1,25 @@
 """Multimodal column operators: decode / feature-extract / resize /
 frame-sample over opaque binary columns (build brief §multimodal).
 
-The container has no imaging/video libraries, so:
-  * images: REAL — the pure-numpy PNG codec + raw RGB (sources/png.py,
-    sources/images.py); jpeg decode is a documented stub behind an
-    optional PIL import.
-  * video: the byte layout is a deterministic fake (concatenated raw RGB
-    frames — generated by make_video_bytes below), but the Spark-side
-    plumbing is real: schema, partitioning, Arrow batch shape, and the
-    frame-sampling kernel are exactly what a codec-backed decode would
-    use (swap _decode_frames for pyav/ffmpeg in production).
+The container has no imaging/video libraries, so the codecs are
+implemented here (same move as sources/png.py / sources/jpeg.py):
+  * images: pure-numpy PNG + baseline JPEG codecs + raw RGB.
+  * video: two REAL formats, no stubs —
+      'vtv'  — a self-describing container (magic "VTV1", header with
+               w/h/n_frames, length-prefixed PNG-compressed frames:
+               an MJPEG-shaped layout).  The decoder parses the
+               container itself; the row's w/h/n_frames metadata is
+               validated against the header, not trusted.
+      'rawv' — n_frames raw RGB frames concatenated (header-less;
+               the metadata columns supply the shape).
+    Swapping in pyav/ffmpeg for H.264 in production replaces only
+    _decode_frames; the Spark-side plumbing (schema, partitioning,
+    Arrow batch shape, in-batch explode) is identical.
 """
 
 from __future__ import annotations
 
+import struct
 from typing import Iterator
 
 import numpy as np
@@ -23,7 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from geojson_vt_rs_spark.sources.images import make_pixels
-from geojson_vt_rs_spark.sources.png import encode_png
+from geojson_vt_rs_spark.sources.png import decode_png, encode_png
 
 VIDEO_SCHEMA = T.StructType(
     [
@@ -36,27 +42,72 @@ VIDEO_SCHEMA = T.StructType(
     ]
 )
 
+_VTV_MAGIC = b"VTV1"
+
+
+def make_frames(i: int, w: int = 16, h: int = 16, n_frames: int = 12) -> list:
+    """The deterministic frame stack of video i (pure function of i)."""
+    return [make_pixels(i * 1000 + f, w, h) for f in range(n_frames)]
+
+
+def encode_vtv(frames: list) -> bytes:
+    """Frames -> VTV1 container: magic + (w, h, n_frames) header +
+    length-prefixed PNG payload per frame."""
+    h, w = frames[0].shape[:2]
+    out = bytearray(_VTV_MAGIC)
+    out += struct.pack(">HHI", w, h, len(frames))
+    for fr in frames:
+        payload = encode_png(fr)
+        out += struct.pack(">I", len(payload))
+        out += payload
+    return bytes(out)
+
+
+def decode_vtv(data: bytes) -> np.ndarray:
+    """VTV1 container -> (n_frames, h, w, 3) uint8."""
+    data = bytes(data)
+    if data[:4] != _VTV_MAGIC:
+        raise ValueError("not a VTV1 container")
+    w, h, n = struct.unpack(">HHI", data[4:12])
+    pos = 12
+    frames = np.empty((n, h, w, 3), dtype=np.uint8)
+    for fi in range(n):
+        (ln,) = struct.unpack(">I", data[pos : pos + 4])
+        pos += 4
+        frames[fi] = decode_png(data[pos : pos + ln])
+        pos += ln
+    return frames
+
 
 def make_video_bytes(i: int, w: int = 16, h: int = 16, n_frames: int = 12) -> bytes:
-    """Deterministic fake video: n_frames raw RGB frames concatenated."""
-    frames = [make_pixels(i * 1000 + f, w, h) for f in range(n_frames)]
-    return b"".join(f.tobytes() for f in frames)
+    """Deterministic raw video: n_frames raw RGB frames concatenated."""
+    return b"".join(f.tobytes() for f in make_frames(i, w, h, n_frames))
 
 
 def generate_videos(spark: SparkSession, n: int, partitions: int = 8) -> DataFrame:
+    """Distributed deterministic video table; even ids are VTV1
+    containers, odd ids raw concatenated frames — both decode paths are
+    exercised by every downstream test/query."""
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for i in pdf["id"]:
                 i = int(i)
+                fmt = "vtv" if i % 2 == 0 else "rawv"
+                data = (
+                    encode_vtv(make_frames(i))
+                    if fmt == "vtv"
+                    else make_video_bytes(i)
+                )
                 rows.append(
                     dict(
                         video_id=f"vid{i:06d}",
-                        bytes=make_video_bytes(i),
+                        bytes=data,
                         w=16,
                         h=16,
                         n_frames=12,
-                        fmt="rawv",
+                        fmt=fmt,
                     )
                 )
             yield pd.DataFrame(rows, columns=[f.name for f in VIDEO_SCHEMA.fields])
@@ -65,11 +116,19 @@ def generate_videos(spark: SparkSession, n: int, partitions: int = 8) -> DataFra
 
 
 def _decode_frames(data: bytes, w: int, h: int, n_frames: int, fmt: str) -> np.ndarray:
-    if fmt != "rawv":  # codec-backed formats are a documented stub
-        raise NotImplementedError(
-            f"video fmt {fmt!r} requires a codec library, absent in this container"
+    if fmt == "vtv":
+        frames = decode_vtv(data)
+        if frames.shape != (n_frames, h, w, 3):
+            raise ValueError(
+                f"vtv header {frames.shape} != row metadata "
+                f"{(n_frames, h, w, 3)}"
+            )
+        return frames
+    if fmt == "rawv":
+        return np.frombuffer(bytes(data), dtype=np.uint8).reshape(
+            n_frames, h, w, 3
         )
-    return np.frombuffer(bytes(data), dtype=np.uint8).reshape(n_frames, h, w, 3)
+    raise ValueError(f"unknown video fmt {fmt!r}")
 
 
 FRAME_SCHEMA = T.StructType(

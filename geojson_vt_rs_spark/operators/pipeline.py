@@ -267,6 +267,60 @@ RENDER_SCHEMA = T.StructType(
 RENDER_COLS = [f.name for f in RENDER_SCHEMA.fields]
 
 
+def batch_pre_transform(pdf: pd.DataFrame, extent: int, tol: float,
+                        max_zoom: int):
+    """Cross-feature columnar render: transform EVERY point of the Arrow
+    batch to tile-local int64 coords in one numpy pass, with each row's
+    (z2, x, y, sq_tolerance) broadcast per point via np.repeat.
+
+    Elementwise identical to TileEmitter._transform / the per-part z
+    filter — same op order ((xs*z2 - x)*extent, half-away round,
+    tolerance = tol/(z2*extent), keep = zs > tol^2) — so the golden
+    corpora stay exact through this path (asserted by the dual-path
+    golden tests).  Per-part numpy dispatch overhead was the dominant
+    render cost at fixture shapes (CLAUDE.md perf findings): one
+    transform per BATCH replaces 2 transforms per part.
+
+    Returns (offs, tx, ty, keep): row i's slice is offs[i]:offs[i+1].
+    """
+    from geojson_vt_rs_spark.core.tile import _round_half_away
+
+    n = len(pdf)
+    xs_col = pdf["xs"].to_numpy()
+    ys_col = pdf["ys"].to_numpy()
+    zs_col = pdf["zs"].to_numpy()
+    lens = np.fromiter(
+        (0 if v is None else len(v) for v in xs_col), np.int64, count=n
+    )
+    offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    total = int(offs[-1])
+    if total == 0:
+        e_i = np.empty(0, np.int64)
+        return offs, e_i, e_i, np.empty(0, bool)
+    all_x = np.concatenate(
+        [np.asarray(v, np.float64) for v in xs_col if v is not None]
+    )
+    all_y = np.concatenate(
+        [np.asarray(v, np.float64) for v in ys_col if v is not None]
+    )
+    all_z = np.concatenate(
+        [np.asarray(v, np.float64) for v in zs_col if v is not None]
+    )
+    z = pdf["z"].to_numpy().astype(np.int64)
+    z2r = np.ldexp(1.0, z)  # exact float(1 << z)
+    ext = float(extent)
+    tolr = np.where(z == max_zoom, 0.0, tol / (z2r * ext))
+    rep_z2 = np.repeat(z2r, lens)
+    rep_x = np.repeat(pdf["x"].to_numpy().astype(np.float64), lens)
+    rep_y = np.repeat(pdf["y"].to_numpy().astype(np.float64), lens)
+    rep_sq = np.repeat(tolr * tolr, lens)
+    tx = _round_half_away((all_x * rep_z2 - rep_x) * ext).astype(np.int64)
+    ty = _round_half_away((all_y * rep_z2 - rep_y) * ext).astype(np.int64)
+    keep = all_z > rep_sq
+    return offs, tx, ty, keep
+
+
 def render_stage(df: DataFrame, options) -> DataFrame:
     """Per-ROW tile rendering (tile.rs:105-297 per feature).
 
@@ -293,11 +347,15 @@ def render_stage(df: DataFrame, options) -> DataFrame:
             wc = pdf["world_copy"].to_numpy()
             seq = pdf["feature_seq"].to_numpy()
             sp = pdf["slice_path"].to_numpy()
+            offs, btx, bty, bkeep = batch_pre_transform(
+                pdf, extent, tol, max_zoom
+            )
             for i, f in enumerate(pdf_to_features(pdf)):
                 z, x, y = int(zs[i]), int(xs_[i]), int(ys_[i])
                 tolerance = 0.0 if z == max_zoom else tol / (float(1 << z) * extent)
                 em = TileEmitter(z, x, y, extent, tolerance, lm)
-                em.add_feature(f)
+                a, b = offs[i], offs[i + 1]
+                em.add_feature(f, pre=(btx[a:b], bty[a:b], bkeep[a:b]))
                 if not em.features:
                     # still contributes num_simplified? no features kept,
                     # but transform_point calls may have run (e.g. points
@@ -443,7 +501,11 @@ def render_split_stage(df: DataFrame, options: Options) -> DataFrame:
                         )
                     parts.append(sub)
 
-            # one per-feature pass: render everything, clip straddlers
+            # one per-feature pass: render everything, clip straddlers;
+            # the whole batch's transform ran in ONE numpy pass upstream
+            offs, btx, bty, bkeep = batch_pre_transform(
+                pdf, extent, tol, max_zoom
+            )
             out: List[dict] = []
             for i, f in enumerate(pdf_to_features(pdf)):
                 zi, xi, yi = int(z[i]), int(x[i]), int(y[i])
@@ -452,7 +514,8 @@ def render_split_stage(df: DataFrame, options: Options) -> DataFrame:
                     0.0 if zi == max_zoom else tol / (z2 * extent)
                 )
                 em = TileEmitter(zi, xi, yi, extent, tolerance, lm)
-                em.add_feature(f)
+                a, b = offs[i], offs[i + 1]
+                em.add_feature(f, pre=(btx[a:b], bty[a:b], bkeep[a:b]))
                 base = dict.fromkeys(RS_COLS) | dict(
                     row_kind=RS_RENDER, z=zi, x=xi, y=yi,
                     world_copy=int(wc[i]), feature_seq=int(seq[i]),

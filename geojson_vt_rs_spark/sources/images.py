@@ -4,10 +4,10 @@ shape: image_id, bytes, w, h, fmt, caption, phash).
 Generated DISTRIBUTED: spark.range(n) -> mapInPandas, so the same code
 path scales from the 10k-row test table to the 10^12-row production
 shape (each row is a pure function of its index; no driver loop, no
-external data).  fmt is 'png' (real codec, sources/png.py) or 'raw'
-(uncompressed RGB bytes).  'jpeg' decode is gated behind an optional PIL
-import in decode_image() — a documented stub; the generator never emits
-it by default.
+external data).  fmt rotates over 'png' (real codec, sources/png.py),
+'jpeg' (real baseline-DCT codec, sources/jpeg.py — lossy, so phash is
+the INGEST-time hash of the source pixels, the usual production
+convention) and 'raw' (uncompressed RGB bytes).
 """
 
 from __future__ import annotations
@@ -19,6 +19,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
+from geojson_vt_rs_spark.sources.jpeg import decode_jpeg, encode_jpeg
 from geojson_vt_rs_spark.sources.png import decode_png, encode_png
 
 IMAGE_SCHEMA = T.StructType(
@@ -74,8 +75,13 @@ def make_image_row(i: int) -> dict:
     w = _SIZES[i % len(_SIZES)]
     h = _SIZES[(i // 3) % len(_SIZES)]
     rgb = make_pixels(i, w, h)
-    fmt = "png" if i % 4 != 3 else "raw"
-    data = encode_png(rgb) if fmt == "png" else rgb.tobytes()
+    fmt = ("png", "png", "jpeg", "raw")[i % 4]
+    if fmt == "png":
+        data = encode_png(rgb)
+    elif fmt == "jpeg":
+        data = encode_jpeg(rgb)
+    else:
+        data = rgb.tobytes()
     return dict(
         image_id=f"img{i:08d}",
         bytes=data,
@@ -92,16 +98,8 @@ def decode_image(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
         return decode_png(bytes(data))
     if fmt == "raw":
         return np.frombuffer(bytes(data), dtype=np.uint8).reshape(h, w, 3)
-    if fmt == "jpeg":  # documented stub: no image libs in this container
-        try:
-            import io
-
-            from PIL import Image  # type: ignore
-        except ImportError as e:
-            raise NotImplementedError(
-                "jpeg decode requires PIL, not available in this container"
-            ) from e
-        return np.asarray(Image.open(io.BytesIO(bytes(data))).convert("RGB"))
+    if fmt == "jpeg":  # pure-numpy baseline codec (sources/jpeg.py)
+        return decode_jpeg(bytes(data))
     raise ValueError(f"unknown fmt {fmt}")
 
 

@@ -1,0 +1,429 @@
+"""Minimal pure-numpy baseline JPEG (JFIF) codec — RGB8, 4:4:4.
+
+The container has no image libraries, so (like sources/png.py) the codec
+is implemented directly: ITU-T T.81 baseline sequential DCT with the
+Annex K quantization + Huffman tables, no chroma subsampling (1x1x1 —
+valid baseline, simplest MCU layout), deterministic float64 math.  The
+encoder emits standard JFIF that any external decoder can read; the
+decoder parses DQT/SOF0/DHT/SOS from the stream (it is a real, if
+minimal, baseline decoder — not a private round-tripper), restricted to
+what baseline allows: 8-bit, Huffman, no progressive, no restart
+markers.
+
+Quality default 98 keeps the synthetic-table roundtrip PSNR above the
+40 dB gate (tests/test_graft.py) on the gradient+NOISE pixels (the
+per-pixel +-16 noise is the hard part: q=92 -> 32 dB, q=98 -> 44 dB;
+a smooth gradient reaches 52 dB already at q=92).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------- Annex K tables
+
+_QL = np.array(  # K.1 luminance
+    [16, 11, 10, 16, 24, 40, 51, 61,
+     12, 12, 14, 19, 26, 58, 60, 55,
+     14, 13, 16, 24, 40, 57, 69, 56,
+     14, 17, 22, 29, 51, 87, 80, 62,
+     18, 22, 37, 56, 68, 109, 103, 77,
+     24, 35, 55, 64, 81, 104, 113, 92,
+     49, 64, 78, 87, 103, 121, 120, 101,
+     72, 92, 95, 98, 112, 100, 103, 99], dtype=np.int32)
+
+_QC = np.array(  # K.2 chrominance
+    [17, 18, 24, 47, 99, 99, 99, 99,
+     18, 21, 26, 66, 99, 99, 99, 99,
+     24, 26, 56, 99, 99, 99, 99, 99,
+     47, 66, 99, 99, 99, 99, 99, 99,
+     99, 99, 99, 99, 99, 99, 99, 99,
+     99, 99, 99, 99, 99, 99, 99, 99,
+     99, 99, 99, 99, 99, 99, 99, 99,
+     99, 99, 99, 99, 99, 99, 99, 99], dtype=np.int32)
+
+# zigzag index of each natural position (K.3 order)
+_ZIGZAG = np.array(
+    [0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+     12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+     35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+     58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63],
+    dtype=np.int32)
+
+# Annex K Huffman specs: (bits[1..16], values)
+_DC_L = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+         list(range(12)))
+_DC_C = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+         list(range(12)))
+_AC_L = ([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+         [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+          0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+          0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+          0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+          0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+          0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+          0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+          0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+          0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+          0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+          0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+          0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+          0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+          0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+          0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+_AC_C = ([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+         [0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+          0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+          0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+          0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+          0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+          0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+          0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+          0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+          0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+          0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+          0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+          0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+          0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+          0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+          0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+
+
+def _huff_codes(bits, values):
+    """Canonical (symbol -> (code, length)) per T.81 C.2."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[values[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huff_decoder(bits, values):
+    """(length, code) -> symbol map for bit-serial decoding."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[(length, code)] = values[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+# orthonormal 8x8 DCT-II matrix; JPEG's FDCT/IDCT pair = T @ B @ T.T
+_T = np.zeros((8, 8))
+for _u in range(8):
+    _c = np.sqrt(0.125) if _u == 0 else 0.5
+    for _x in range(8):
+        _T[_u, _x] = _c * np.cos((2 * _x + 1) * _u * np.pi / 16.0)
+
+
+def _quality_tables(quality: int):
+    q = max(1, min(100, int(quality)))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    ql = np.clip((_QL * scale + 50) // 100, 1, 255).astype(np.int32)
+    qc = np.clip((_QC * scale + 50) // 100, 1, 255).astype(np.int32)
+    return ql, qc
+
+
+def _rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
+    r = rgb[..., 0].astype(np.float64)
+    g = rgb[..., 1].astype(np.float64)
+    b = rgb[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    y = ycc[..., 0]
+    cb = ycc[..., 1] - 128.0
+    cr = ycc[..., 2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    out = np.stack([r, g, b], axis=-1)
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int):
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self):
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # 1-fill per F.1.2.3
+
+
+def _magnitude(v: int):
+    """(category, low-order bits) encoding of a DC diff / AC value."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    cat = a.bit_length()
+    bits = v if v > 0 else v + (1 << cat) - 1
+    return cat, bits
+
+
+def _encode_block(bw, block_q, prev_dc, dc_tab, ac_tab):
+    zz = block_q[_ZIGZAG]
+    dc = int(zz[0])
+    cat, bits = _magnitude(dc - prev_dc)
+    code, ln = dc_tab[cat]
+    bw.write(code, ln)
+    if cat:
+        bw.write(bits, cat)
+    run = 0
+    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_tab[0xF0]  # ZRL
+            bw.write(code, ln)
+            run -= 16
+        cat, bits = _magnitude(v)
+        code, ln = ac_tab[(run << 4) | cat]
+        bw.write(code, ln)
+        bw.write(bits, cat)
+        run = 0
+        if k == last_nz:
+            break
+    if last_nz < 63:
+        code, ln = ac_tab[0x00]  # EOB
+        bw.write(code, ln)
+    return dc
+
+
+def encode_jpeg(rgb: np.ndarray, quality: int = 98) -> bytes:
+    """RGB8 (h, w, 3) -> baseline JFIF bytes (4:4:4, Annex K Huffman)."""
+    h, w = rgb.shape[:2]
+    ql, qc = _quality_tables(quality)
+    ycc = _rgb_to_ycbcr(rgb) - 128.0
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.empty((ph, pw, 3))
+    padded[:h, :w] = ycc
+    padded[h:, :w] = ycc[h - 1 : h, :]  # edge replication
+    padded[:, w:] = padded[:, w - 1 : w]
+
+    dc_l, dc_c = _huff_codes(*_DC_L), _huff_codes(*_DC_C)
+    ac_l, ac_c = _huff_codes(*_AC_L), _huff_codes(*_AC_C)
+    qtabs = (ql, qc, qc)
+    dctabs = (dc_l, dc_c, dc_c)
+    actabs = (ac_l, ac_c, ac_c)
+
+    bw = _BitWriter()
+    prev = [0, 0, 0]
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            for c in range(3):
+                blk = padded[by : by + 8, bx : bx + 8, c]
+                coef = _T @ blk @ _T.T
+                q = np.round(coef.reshape(64) / qtabs[c]).astype(np.int64)
+                prev[c] = _encode_block(
+                    bw, q, prev[c], dctabs[c], actabs[c]
+                )
+    bw.flush()
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0]) + bytes(ql[_ZIGZAG].tolist()))
+    out += seg(0xDB, bytes([1]) + bytes(qc[_ZIGZAG].tolist()))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for cid, tq in ((1, 0), (2, 1), (3, 1)):
+        sof += bytes([cid, 0x11, tq])  # 1x1 sampling (4:4:4)
+    out += seg(0xC0, sof)
+    for tc_th, (bits, vals) in (
+        (0x00, _DC_L), (0x01, _DC_C), (0x10, _AC_L), (0x11, _AC_C)
+    ):
+        out += seg(0xC4, bytes([tc_th]) + bytes(bits) + bytes(vals))
+    sos = bytes([3])
+    for cid, tabs in ((1, 0x00), (2, 0x11), (3, 0x11)):
+        sos += bytes([cid, tabs])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    out += bw.buf
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self):
+        while self.nbits <= 24 and self.pos < len(self.data):
+            byte = self.data[self.pos]
+            self.pos += 1
+            if byte == 0xFF:
+                nxt = self.data[self.pos] if self.pos < len(self.data) else 0
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed
+                else:
+                    byte = 0  # hit a marker; pad with zeros
+                    self.pos -= 1
+            self.acc = (self.acc << 8) | byte
+            self.nbits += 8
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+            if self.nbits == 0:
+                return 0
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _extend(bits: int, cat: int) -> int:
+    if cat == 0:
+        return 0
+    return bits if bits >= (1 << (cat - 1)) else bits - (1 << cat) + 1
+
+
+def _read_symbol(br: _BitReader, dec: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.bit()
+        sym = dec.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG: bad Huffman code")
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline JFIF bytes -> RGB8 (h, w, 3).  Supports what baseline
+    requires for this codec's streams: 8-bit, Huffman, 1x1 sampling,
+    up to 4 quant + 4/4 Huffman tables, no progressive/restart."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    try:
+        return _decode_jpeg_body(data)
+    except (IndexError, struct.error) as e:
+        raise ValueError("invalid JPEG: truncated stream") from e
+
+
+def _decode_jpeg_body(data: bytes) -> np.ndarray:
+    pos = 2
+    qt = {}
+    hts = {}
+    h = w = 0
+    comps = []
+    scan = None
+    while pos < len(data) - 1:
+        if data[pos] != 0xFF:
+            raise ValueError("bad marker sync")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        ln = struct.unpack(">H", data[pos + 2 : pos + 4])[0]
+        seg = data[pos + 4 : pos + 2 + ln]
+        pos += 2 + ln
+        if marker == 0xDB:
+            i = 0
+            while i < len(seg):
+                pq_tq = seg[i]
+                tq = pq_tq & 0x0F
+                tab = np.frombuffer(
+                    seg[i + 1 : i + 65], dtype=np.uint8
+                ).astype(np.int32)
+                nat = np.zeros(64, np.int32)
+                nat[_ZIGZAG] = tab  # stored in zigzag order
+                qt[tq] = nat
+                i += 65
+        elif marker == 0xC0:
+            h, w = struct.unpack(">HH", seg[1:5])
+            n = seg[5]
+            comps = [
+                (seg[6 + 3 * i], seg[7 + 3 * i], seg[8 + 3 * i])
+                for i in range(n)
+            ]
+            if any(samp != 0x11 for _, samp, _ in comps):
+                raise NotImplementedError("only 4:4:4 (1x1) supported")
+        elif marker in (0xC1, 0xC2, 0xC3):
+            raise NotImplementedError("only baseline SOF0 supported")
+        elif marker == 0xC4:
+            i = 0
+            while i < len(seg):
+                tc_th = seg[i]
+                bits = list(seg[i + 1 : i + 17])
+                nvals = sum(bits)
+                vals = list(seg[i + 17 : i + 17 + nvals])
+                hts[tc_th] = _huff_decoder(bits, vals)
+                i += 17 + nvals
+        elif marker == 0xDA:
+            ns = seg[0]
+            scan = [(seg[1 + 2 * i], seg[2 + 2 * i]) for i in range(ns)]
+            break
+    if scan is None or not comps:
+        raise ValueError("invalid JPEG: missing SOF/SOS")
+
+    br = _BitReader(data[pos:])
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    planes = np.zeros((3, ph, pw))
+    dctabs = {cid: hts[tabs >> 4] for cid, tabs in scan}
+    actabs = {cid: hts[0x10 | (tabs & 0x0F)] for cid, tabs in scan}
+    qtabs = {cid: qt[tq] for cid, _, tq in comps}
+    prev = {cid: 0 for cid, _, _ in comps}
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            for ci, (cid, _, _) in enumerate(comps):
+                zz = np.zeros(64, np.int64)
+                cat = _read_symbol(br, dctabs[cid])
+                prev[cid] += _extend(br.bits(cat), cat)
+                zz[0] = prev[cid]
+                k = 1
+                while k < 64:
+                    rs = _read_symbol(br, actabs[cid])
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r == 15:
+                            k += 16  # ZRL
+                            continue
+                        break  # EOB
+                    k += r
+                    zz[k] = _extend(br.bits(s), s)
+                    k += 1
+                nat = np.zeros(64, np.int64)
+                nat[_ZIGZAG] = zz
+                coef = (nat * qtabs[cid]).reshape(8, 8).astype(np.float64)
+                planes[ci, by : by + 8, bx : bx + 8] = _T.T @ coef @ _T
+    ycc = planes.transpose(1, 2, 0)[:h, :w] + 128.0
+    return _ycbcr_to_rgb(ycc)

@@ -25,18 +25,35 @@ def test_png_roundtrip():
 
 
 def test_image_row_deterministic():
-    a = make_image_row(42)
+    a = make_image_row(42)  # i%4 == 2 -> jpeg row
     b = make_image_row(42)
+    assert a["fmt"] == "jpeg"
     assert a["bytes"] == b["bytes"]
     assert a["phash"] == b["phash"]
     assert a["caption"] == "caption for img00000042"
+    # phash is the INGEST-time hash of the source pixels; jpeg is lossy,
+    # so the decoded image's hash may drift by a few bits but stays near
     rgb = decode_image(a["bytes"], a["w"], a["h"], a["fmt"])
-    assert compute_phash(rgb) == a["phash"]
+    drift = bin((compute_phash(rgb) ^ a["phash"]) & ((1 << 64) - 1)).count("1")
+    assert drift <= 8, drift
+    c = make_image_row(41)  # png row: lossless, phash exact
+    rgb_c = decode_image(c["bytes"], c["w"], c["h"], c["fmt"])
+    assert compute_phash(rgb_c) == c["phash"]
 
 
-def test_jpeg_stub():
-    with pytest.raises((NotImplementedError, ValueError)):
-        decode_image(b"\xff\xd8\xff", 8, 8, "jpeg")
+def test_jpeg_roundtrip():
+    from geojson_vt_rs_spark.sources.jpeg import encode_jpeg
+    from geojson_vt_rs_spark.sources.png import psnr
+
+    for i, w, h in [(2, 16, 24), (6, 32, 32), (10, 24, 16), (14, 17, 9)]:
+        rgb = make_pixels(i, w, h)
+        back = decode_image(encode_jpeg(rgb), w, h, "jpeg")
+        assert back.shape == rgb.shape
+        assert psnr(rgb, back) >= 40.0  # builder-brief fidelity gate
+    with pytest.raises(ValueError):
+        decode_image(b"\xff\xd8\xff", 8, 8, "jpeg")  # truncated
+    with pytest.raises(ValueError):
+        decode_image(b"nonsense", 8, 8, "jpeg")
 
 
 N = 2000

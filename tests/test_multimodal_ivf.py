@@ -53,10 +53,25 @@ def test_frame_sample(spark):
     assert abs(row["mean_lum"] - src.astype(np.float64).mean()) < 1e-9
 
 
-def test_video_codec_stub(spark):
+def test_vtv_container_roundtrip():
     import pytest
 
-    from geojson_vt_rs_spark.operators.multimodal import _decode_frames
+    from geojson_vt_rs_spark.operators.multimodal import (
+        _decode_frames,
+        decode_vtv,
+        encode_vtv,
+        make_frames,
+    )
 
-    with pytest.raises(NotImplementedError):
+    frames = make_frames(3, w=16, h=16, n_frames=12)
+    data = encode_vtv(frames)
+    back = decode_vtv(data)
+    assert back.shape == (12, 16, 16, 3)
+    assert all(np.array_equal(back[i], frames[i]) for i in range(12))
+    # the container is self-describing; mismatched row metadata is caught
+    with pytest.raises(ValueError):
+        _decode_frames(data, 16, 16, 7, "vtv")
+    with pytest.raises(ValueError):
         _decode_frames(b"xx", 2, 2, 1, "h264")
+    with pytest.raises(ValueError):
+        decode_vtv(b"nonsense")
