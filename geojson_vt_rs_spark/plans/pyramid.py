@@ -437,15 +437,50 @@ class SparkGeoJSONVT:
             # analysis cost compounds (measured 4x wall blowup by z5 on a
             # no-fuse us-states build)
             step2 = render_split_stage(nonfuse, o).localCheckpoint(eager=False)
-            rend = (
-                step2.filter(F.col("row_kind") == RS_RENDER)
-                .select(
+            has_fuse = any(a == "fuse" for _, _, _, a, _ in decisions)
+            has_leaf = any(a == "leaf" for _, _, _, a, _ in decisions)
+
+            # the level's three collections are INDEPENDENT Spark actions
+            # (render rows from step2; fused subtrees and leaf retention
+            # from fr) -> run them as concurrent jobs so the level pays
+            # one job latency, not three (fr is a narrow broadcast join
+            # over the already-materialized persisted frontier, so a
+            # concurrent first touch duplicates only map-side work)
+            def _collect_rend():
+                return step2.filter(F.col("row_kind") == RS_RENDER).select(
                     "z", "x", "y", "world_copy", "feature_seq", "slice_path",
                     "sub_idx", "type", "kind", "geometry_json", "tags_json",
                     "id_str", "id_num", "id_float", "n_emitted",
+                ).toPandas()
+
+            def _collect_fuse():
+                step = (
+                    fr.filter(F.col("action") == "fuse")
+                    .drop("action")
+                    .groupBy("z", "x", "y")
+                    .applyInPandas(kernel, schema=STEP_SCHEMA)
                 )
-                .toPandas()
-            )
+                return step.filter(
+                    F.col("row_kind").isin(K_TILE, K_STATS, K_LEAF)
+                ).toPandas()
+
+            def _collect_leaf():
+                return (
+                    fr.filter(F.col("action") == "leaf")
+                    .drop("action")
+                    .select(*TILED_COLS)
+                    .toPandas()
+                )
+
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(3) as _ex:
+                rend_f = _ex.submit(_collect_rend)
+                fuse_f = _ex.submit(_collect_fuse) if has_fuse else None
+                leaf_f = _ex.submit(_collect_leaf) if has_leaf else None
+                rend = rend_f.result()
+                meta = fuse_f.result() if fuse_f is not None else None
+                leaf_rows = leaf_f.result() if leaf_f is not None else None
             _t_rend = _time.time()
             frontier.unpersist()
             rend_groups = (
@@ -455,14 +490,9 @@ class SparkGeoJSONVT:
             )
 
             split_parents = []
-            has_fuse = False
-            has_leaf = False
             for z, x, y, action, tnp in decisions:
                 if action == "fuse":
-                    has_fuse = True
                     continue
-                if action == "leaf":
-                    has_leaf = True
                 grp = rend_groups.get((z, x, y))
                 if grp is None:
                     feats, ns = [], 0
@@ -479,16 +509,7 @@ class SparkGeoJSONVT:
                     self.leaf_features.pop(to_id(z, x, y), None)  # lib.rs:430-433
 
             # bounded fused subtrees (grouped; group size <= fuse_max pts)
-            if has_fuse:
-                step = (
-                    fr.filter(F.col("action") == "fuse")
-                    .drop("action")
-                    .groupBy("z", "x", "y")
-                    .applyInPandas(kernel, schema=STEP_SCHEMA)
-                )
-                meta = step.filter(
-                    F.col("row_kind").isin(K_TILE, K_STATS, K_LEAF)
-                ).toPandas()
+            if meta is not None:
                 tile_pdf = meta[meta.row_kind.isin([K_TILE, K_STATS])]
                 for (z, x, y), grp in tile_pdf.groupby(["z", "x", "y"], sort=False):
                     stats_row = grp[grp.row_kind == K_STATS].iloc[0]
@@ -505,13 +526,7 @@ class SparkGeoJSONVT:
                     ].reset_index(drop=True)
 
             # leaf tiles retain their source features (lib.rs:311,324,335)
-            if has_leaf:
-                leaf_rows = (
-                    fr.filter(F.col("action") == "leaf")
-                    .drop("action")
-                    .select(*TILED_COLS)
-                    .toPandas()
-                )
+            if leaf_rows is not None:
                 for (z, x, y), grp in leaf_rows.groupby(["z", "x", "y"], sort=False):
                     self.leaf_features[to_id(int(z), int(x), int(y))] = grp[
                         TILED_COLS
