@@ -101,14 +101,70 @@ class CheckpointedPyramid:
     manifest is written last.  On resume, staging leftovers and published
     level dirs without a manifest are removed before the level recomputes
     (deterministic content), so readers never see duplicates and need no
-    dedupe.  An Iceberg snapshot commit would subsume the rename in the
-    production shape.  ``level`` is a string partition column readers may
-    ignore; ``z`` remains a partition column so point lookups still prune.
+    dedupe.  With ``iceberg=True`` (pyiceberg required — absent in this
+    container) a real snapshot commit subsumes the JSON manifest as the
+    commit point (plans/iceberg_sink.py).  ``level`` is a string
+    partition column readers may ignore; ``z`` remains a partition
+    column so point lookups still prune.
     """
 
-    def __init__(self, spark: SparkSession, options: Optional[Options] = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        options: Optional[Options] = None,
+        iceberg: bool = False,
+        catalog_kwargs: Optional[dict] = None,
+    ):
+        """``iceberg=True`` layers real snapshot commits over the level
+        publishes (plans/iceberg_sink.py): files are still written
+        distributed + renamed into place, but the Iceberg snapshot is
+        the commit point and carries the manifest; the JSON manifest
+        becomes a read cache written after the commit.  Requires
+        pyiceberg (ImportError otherwise — absent in this container, so
+        the staged-rename protocol below is the tested default)."""
         self.spark = spark
         self.options = options or Options()
+        self._iceberg = iceberg
+        self._catalog_kwargs = catalog_kwargs
+        self._sinks: dict = {}
+
+    def _sink(self, out_dir: str):
+        if not self._iceberg:
+            return None
+        if out_dir not in self._sinks:
+            from geojson_vt_rs_spark.plans.iceberg_sink import IcebergTileSink
+
+            self._sinks[out_dir] = IcebergTileSink(
+                out_dir, self._catalog_kwargs
+            )
+        return self._sinks[out_dir]
+
+    def _commit_manifest(
+        self, out_dir: str, name: str, payload: dict,
+        tiles_dir: str = "", leaves_dir: str = "",
+    ) -> None:
+        sink = self._sink(out_dir)
+        if sink is not None:
+            # snapshot commit FIRST (the commit point); JSON after (cache)
+            if leaves_dir and os.path.isdir(leaves_dir):
+                sink.commit_level(
+                    "leaves", leaves_dir, dict(payload, table="leaves")
+                )
+            sink.commit_level(
+                "tiles",
+                tiles_dir if os.path.isdir(tiles_dir) else "",
+                payload,
+            )
+        _write_manifest(out_dir, name, payload)
+
+    def _get_manifest(self, out_dir: str, name: str) -> Optional[dict]:
+        m = _read_manifest(out_dir, name)
+        if m is None and self._iceberg and name.startswith("level_"):
+            sink = self._sink(out_dir)
+            m = sink.read_manifest("tiles", int(name.split("_")[1]))
+            if m is not None:
+                _write_manifest(out_dir, name, m)  # restore the cache
+        return m
 
     def run(self, features_df: DataFrame, out_dir: str) -> dict:
         o = self.options
@@ -121,10 +177,10 @@ class CheckpointedPyramid:
         frontier = None
         resumed_pending: list = []
         # resume: find the first level without a manifest
-        while _read_manifest(out_dir, f"level_{level}") is not None:
+        while self._get_manifest(out_dir, f"level_{level}") is not None:
             level += 1
         if level > 0:
-            m = _read_manifest(out_dir, f"level_{level - 1}")
+            m = self._get_manifest(out_dir, f"level_{level - 1}")
             resumed_pending = [tuple(c) for c in m.get("pending_children", [])]
             if m["n_children"] == 0:
                 if not resumed_pending:
@@ -218,13 +274,14 @@ class CheckpointedPyramid:
                         "append"
                     ).partitionBy("z").parquet(stg_tiles)
                 _publish(stg_tiles, fin_tiles)
-                _write_manifest(
+                self._commit_manifest(
                     out_dir,
                     f"level_{level}",
                     dict(level=level, n_tiles=len(empty_rows),
                          n_tile_feature_rows=0, n_leaf_feature_rows=0,
                          n_children=0, pending_children=[],
                          wall_sec=round(time.time() - t0, 3)),
+                    fin_tiles,
                 )
                 frontier.unpersist()
                 return self.summary(out_dir)
@@ -343,7 +400,7 @@ class CheckpointedPyramid:
             ]
             _publish(stg_tiles, fin_tiles)
             _publish(stg_leaves, fin_leaves)
-            _write_manifest(
+            self._commit_manifest(
                 out_dir,
                 f"level_{level}",
                 dict(
@@ -355,6 +412,8 @@ class CheckpointedPyramid:
                     pending_children=pending_children,
                     wall_sec=round(time.time() - t0, 3),
                 ),
+                fin_tiles,
+                fin_leaves,
             )
             fr.unpersist()
             if not n_children and not pending_children:
@@ -371,7 +430,7 @@ class CheckpointedPyramid:
     def summary(self, out_dir: str) -> dict:
         levels = []
         i = 0
-        while (m := _read_manifest(out_dir, f"level_{i}")) is not None:
+        while (m := self._get_manifest(out_dir, f"level_{i}")) is not None:
             levels.append(m)
             i += 1
         return dict(

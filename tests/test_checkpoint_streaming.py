@@ -413,3 +413,32 @@ def test_drilldown_crash_window_retry(spark, tmp_path):
     again = cp.get_tile(out, 7, 37, 48).toPandas()
     assert len(again) == len(want)
     assert not again.duplicated(subset=["feature_idx"]).any()
+
+
+def test_iceberg_sink_gating(spark, tmp_path):
+    """iceberg=True routes level commits through snapshot commits when
+    pyiceberg exists; without it the constructor path raises a clear
+    ImportError at first use and the default protocol is unaffected."""
+    from geojson_vt_rs_spark.plans.iceberg_sink import iceberg_available
+
+    out = str(tmp_path / "pyr_ib")
+    feats = read_geojson_features(
+        spark, "/root/reference/fixtures/us-states.json"
+    )
+    opts = Options(max_zoom=14, index_max_zoom=3, index_max_points=200)
+    cp = CheckpointedPyramid(spark, opts, iceberg=True)
+    if not iceberg_available():
+        with pytest.raises(ImportError, match="pyiceberg"):
+            cp.run(feats, out)
+        # the default (rename+JSON) protocol is untouched by the flag
+        s = CheckpointedPyramid(spark, opts).run(feats, out)
+        assert s["total_tiles"] == 17
+        return
+    # with pyiceberg present: full roundtrip + snapshot-backed resume
+    s1 = cp.run(feats, out)
+    assert s1["total_tiles"] == 17
+    # wipe the JSON manifest cache; resume must re-derive it from the
+    # snapshot log and skip all committed levels
+    shutil.rmtree(os.path.join(out, "_manifests"))
+    s2 = cp.run(feats, out)
+    assert s2["total_tiles"] == s1["total_tiles"]
