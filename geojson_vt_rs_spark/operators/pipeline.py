@@ -202,10 +202,9 @@ def split_stage(df: DataFrame, options: Options) -> DataFrame:
                 slow = slow_rows(pdf.loc[~trivial])
                 if slow:
                     parts.append(pd.DataFrame(slow, columns=TILED_COLS))
-            if parts:
-                yield pd.concat(parts, ignore_index=True)[TILED_COLS]
-            else:
-                yield pd.DataFrame(columns=TILED_COLS)
+            for part in parts:
+                if len(part):
+                    yield part[TILED_COLS]
 
     return df.mapInPandas(kernel, schema=TILED_FEATURE_SCHEMA)
 
@@ -440,7 +439,26 @@ def render_split_stage(df: DataFrame, options: Options) -> DataFrame:
     lm = options.tile.line_metrics
     p = 0.5 * buffer / extent
 
+    from geojson_vt_rs_spark.core.geom import GEOM_POINT
+    from geojson_vt_rs_spark.core.tile import TYPE_POINT, _round_half_away
+
+    _MISS = object()
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tags_cache: dict = {}
+
+        def canon_tags(p):
+            # canonical tags_json == json.dumps(json.loads(p)) with empty
+            # props -> None (tile.rs:86-90); cached per distinct string
+            if not isinstance(p, str):
+                return None
+            r = tags_cache.get(p, _MISS)
+            if r is _MISS:
+                t = json.loads(p)
+                r = None if not t else json.dumps(t, separators=(",", ":"))
+                tags_cache[p] = r
+            return r
+
         for pdf in batches:
             if pdf.empty:
                 yield pd.DataFrame(columns=RS_COLS)
@@ -452,6 +470,16 @@ def render_split_stage(df: DataFrame, options: Options) -> DataFrame:
             wc = pdf["world_copy"].to_numpy()
             seq = pdf["feature_seq"].to_numpy()
             sp = pdf["slice_path"].to_numpy()
+            # single-coordinate Point rows: a point never straddles a
+            # split band (bmin == bmax -> always trivial accept/reject),
+            # so the split side is always the pandas passthrough below
+            # and the render side is ONE vectorized transform — no
+            # VtFeature / TileEmitter per row (the LargeGeoJSON shape:
+            # 10^6-point inputs are render-bound without this)
+            is_pt = (
+                (pdf["geom_type"].to_numpy() == GEOM_POINT)
+                & (pdf["num_points"].to_numpy() == 1)
+            )
 
             # --- vectorized split classification (split rows only) ----
             xf = x.astype(np.float64)
@@ -501,14 +529,57 @@ def render_split_stage(df: DataFrame, options: Options) -> DataFrame:
                         )
                     parts.append(sub)
 
-            # one per-feature pass: render everything, clip straddlers;
+            # vectorized render of the single-coordinate Point rows
+            if is_pt.any():
+                n_pt = int(is_pt.sum())
+                zp = z[is_pt].astype(np.int64)
+                z2p = np.ldexp(1.0, zp)
+                ext_f = float(extent)
+                lon = np.concatenate(list(pdf["xs"].to_numpy()[is_pt]))
+                latv = np.concatenate(list(pdf["ys"].to_numpy()[is_pt]))
+                txp = _round_half_away(
+                    (lon * z2p - x[is_pt].astype(np.float64)) * ext_f
+                ).astype(np.int64)
+                typ = _round_half_away(
+                    (latv * z2p - y[is_pt].astype(np.float64)) * ext_f
+                ).astype(np.int64)
+                d = {c: [None] * n_pt for c in RS_COLS}
+                d.update(
+                    row_kind=RS_RENDER,
+                    z=z[is_pt], x=x[is_pt], y=y[is_pt],
+                    world_copy=wc[is_pt],
+                    feature_seq=seq[is_pt],
+                    slice_path=sp[is_pt],
+                    sub_idx=0,
+                    type=TYPE_POINT,
+                    kind=GEOM_POINT,
+                    geometry_json=[
+                        f"[[{a},{b}]]"
+                        for a, b in zip(txp.tolist(), typ.tolist())
+                    ],
+                    tags_json=[
+                        canon_tags(p)
+                        for p in pdf["props_json"].to_numpy()[is_pt]
+                    ],
+                    id_str=pdf["id_str"].to_numpy()[is_pt],
+                    id_num=pdf["id_num"].to_numpy()[is_pt],
+                    id_float=pdf["id_float"].to_numpy()[is_pt],
+                    n_emitted=1,
+                )
+                parts.append(pd.DataFrame(d, columns=RS_COLS))
+
+            # one per-feature pass over the REST: render + clip straddlers;
             # the whole batch's transform ran in ONE numpy pass upstream
+            pdf_np = pdf.loc[~is_pt]
             offs, btx, bty, bkeep = batch_pre_transform(
-                pdf, extent, tol, max_zoom
+                pdf_np, extent, tol, max_zoom
             )
+            z_np, x_np, y_np = z[~is_pt], x[~is_pt], y[~is_pt]
+            wc_np, seq_np, sp_np = wc[~is_pt], seq[~is_pt], sp[~is_pt]
+            slow_np = slow_split[~is_pt]
             out: List[dict] = []
-            for i, f in enumerate(pdf_to_features(pdf)):
-                zi, xi, yi = int(z[i]), int(x[i]), int(y[i])
+            for i, f in enumerate(pdf_to_features(pdf_np)):
+                zi, xi, yi = int(z_np[i]), int(x_np[i]), int(y_np[i])
                 z2 = float(1 << zi)
                 tolerance = (
                     0.0 if zi == max_zoom else tol / (z2 * extent)
@@ -518,8 +589,8 @@ def render_split_stage(df: DataFrame, options: Options) -> DataFrame:
                 em.add_feature(f, pre=(btx[a:b], bty[a:b], bkeep[a:b]))
                 base = dict.fromkeys(RS_COLS) | dict(
                     row_kind=RS_RENDER, z=zi, x=xi, y=yi,
-                    world_copy=int(wc[i]), feature_seq=int(seq[i]),
-                    slice_path=sp[i],
+                    world_copy=int(wc_np[i]), feature_seq=int(seq_np[i]),
+                    slice_path=sp_np[i],
                 )
                 if not em.features:
                     if em.num_simplified:
@@ -552,7 +623,7 @@ def render_split_stage(df: DataFrame, options: Options) -> DataFrame:
                                 ),
                             )
                         )
-                if slow_split[i]:
+                if slow_np[i]:
                     left = clip_feature(
                         f, 0, (xi - p) / z2, (xi + 0.5 + p) / z2, lm
                     )
@@ -579,10 +650,12 @@ def render_split_stage(df: DataFrame, options: Options) -> DataFrame:
                                     out.append(row)
             if out:
                 parts.append(pd.DataFrame(out, columns=RS_COLS))
-            if parts:
-                yield pd.concat(parts, ignore_index=True)[RS_COLS]
-            else:
-                yield pd.DataFrame(columns=RS_COLS)
+            # yield each part as its own Arrow batch: pd.concat of mixed
+            # all-NA object frames triggers an elementwise NA scan (~4s
+            # per 100k-row batch measured) that the separate batches skip
+            for part in parts:
+                if len(part):
+                    yield part[RS_COLS]
 
     return df.mapInPandas(kernel, schema=RS_SCHEMA)
 

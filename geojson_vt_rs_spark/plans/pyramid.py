@@ -101,15 +101,33 @@ _TILE_NULLS = dict(
 
 
 class SparkTile:
-    __slots__ = ("z", "x", "y", "features", "num_points", "num_simplified")
+    """One memoized tile.  ``features`` (canonical tile-feature dicts)
+    is LAZY when built from collected render rows: the driver keeps the
+    raw rows and defers the per-row JSON parse to first access — a
+    1M-point build touches millions of rows but a typical consumer reads
+    a handful of tiles, so eager parsing was the dominant driver-side
+    cost per level."""
 
-    def __init__(self, z, x, y, features, num_points, num_simplified):
+    __slots__ = ("z", "x", "y", "num_points", "num_simplified",
+                 "_features", "_lazy")
+
+    def __init__(self, z, x, y, features, num_points, num_simplified,
+                 lazy=None):
         self.z = z
         self.x = x
         self.y = y
-        self.features = features  # list of canonical tile-feature dicts
+        self._features = features  # list, or None when lazy
+        self._lazy = lazy  # (pdf, parser) when _features is None
         self.num_points = num_points
         self.num_simplified = num_simplified
+
+    @property
+    def features(self):
+        if self._features is None:
+            pdf, parser = self._lazy
+            self._features = parser(pdf)
+            self._lazy = None
+        return self._features
 
 
 EMPTY_TILE = SparkTile(0, 0, 0, [], 0, 0)
@@ -331,11 +349,12 @@ class SparkGeoJSONVT:
             )
 
     # ------------------------------------------------------------------
-    def _register(self, z: int, x: int, y: int, features, np_: int, ns: int):
+    def _register(self, z: int, x: int, y: int, features, np_: int, ns: int,
+                  lazy=None):
         tid = to_id(z, x, y)
         if tid in self.tiles:
             return
-        self.tiles[tid] = SparkTile(z, x, y, features, np_, ns)
+        self.tiles[tid] = SparkTile(z, x, y, features, np_, ns, lazy=lazy)
         self.stats[z] = self.stats.get(z, 0) + 1
         self.total += 1
 
@@ -495,15 +514,15 @@ class SparkGeoJSONVT:
                     continue
                 grp = rend_groups.get((z, x, y))
                 if grp is None:
-                    feats, ns = [], 0
+                    self._register(z, x, y, [], tnp, 0)
                 else:
                     ns = int(grp["n_emitted"].sum())
-                    sub = grp[grp["sub_idx"] >= 0].sort_values(
-                        ["world_copy", "feature_seq", "slice_path", "sub_idx"],
-                        kind="stable",
+                    # feature materialization (sort + JSON parse) is
+                    # deferred to first .features access
+                    self._register(
+                        z, x, y, None, tnp, ns,
+                        lazy=(grp, _render_group_to_features),
                     )
-                    feats = _render_rows_to_features(sub)
-                self._register(z, x, y, feats, tnp, ns)
                 if action == "split":
                     split_parents.append((z, x, y))
                     self.leaf_features.pop(to_id(z, x, y), None)  # lib.rs:430-433
@@ -514,10 +533,10 @@ class SparkGeoJSONVT:
                 for (z, x, y), grp in tile_pdf.groupby(["z", "x", "y"], sort=False):
                     stats_row = grp[grp.row_kind == K_STATS].iloc[0]
                     self._register(
-                        int(z), int(x), int(y),
-                        _rows_to_tile_features(grp[grp.row_kind == K_TILE]),
+                        int(z), int(x), int(y), None,
                         int(stats_row["tile_num_points"]),
                         int(stats_row["tile_num_simplified"]),
+                        lazy=(grp, _fused_group_to_features),
                     )
                 leaf_pdf = meta[meta.row_kind == K_LEAF]
                 for (z, x, y), grp in leaf_pdf.groupby(["z", "x", "y"], sort=False):
@@ -604,6 +623,20 @@ class SparkGeoJSONVT:
 
     def get_internal_tiles(self):
         return self.tiles
+
+
+def _render_group_to_features(grp: pd.DataFrame) -> list:
+    """One tile's collected render rows -> ordered canonical features
+    (the deferred half of _register's lazy payload)."""
+    sub = grp[grp["sub_idx"] >= 0].sort_values(
+        ["world_copy", "feature_seq", "slice_path", "sub_idx"],
+        kind="stable",
+    )
+    return _render_rows_to_features(sub)
+
+
+def _fused_group_to_features(grp: pd.DataFrame) -> list:
+    return _rows_to_tile_features(grp[grp.row_kind == K_TILE])
 
 
 def _render_rows_to_features(sub: pd.DataFrame) -> list:

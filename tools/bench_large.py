@@ -39,9 +39,15 @@ def _steal(v0, v1):
 
 
 def run_level(cpus: int) -> dict:
+    """CheckpointedPyramid is the scale path (parquet tiles/leaves, no
+    driver tile dict); get_tile cold = drill-down Spark jobs + store
+    append, warm = partition-pruned parquet point read."""
+    import shutil
+    import tempfile
+
     from geojson_vt_rs_spark.config import Options
     from geojson_vt_rs_spark.operators.session import get_spark
-    from geojson_vt_rs_spark.plans.pyramid import SparkGeoJSONVT
+    from geojson_vt_rs_spark.plans.checkpoint import CheckpointedPyramid
     from geojson_vt_rs_spark.sources.synth_features import generate_points
 
     import bench
@@ -50,22 +56,24 @@ def run_level(cpus: int) -> dict:
     bench.warm_python_workers(spark, cpus=cpus)
     feats = generate_points(spark, N, cpus * 4)
     o = Options()  # reference Options::default(): imz=5, imp=100000
+    out_dir = tempfile.mkdtemp(prefix=f"large_{cpus}_")
+    cp = CheckpointedPyramid(spark, o)
 
     v0 = _cpu()
     t0 = time.time()
-    idx = SparkGeoJSONVT(spark, feats, o, prefer_local=False)
+    s = cp.run(feats, out_dir)
     build = time.time() - t0
     steal_build = _steal(v0, _cpu())
 
     t0 = time.time()
-    tile = idx.get_tile(12, 1171, 1566)
+    tile = cp.get_tile(out_dir, 12, 1171, 1566)
+    n_feat = tile.count()
     cold = time.time() - t0
-    n_feat = len(tile.features)
 
     t0 = time.time()
-    reps = 200
+    reps = 20
     for _ in range(reps):
-        idx.get_tile(12, 1171, 1566)
+        cp.get_tile(out_dir, 12, 1171, 1566).count()
     warm = (time.time() - t0) / reps
 
     out = dict(
@@ -74,12 +82,13 @@ def run_level(cpus: int) -> dict:
         build_sec=round(build, 2),
         build_points_per_sec=round(N / build, 1),
         build_steal_pct=round(100 * steal_build, 1),
-        tiles=idx.total,
+        tiles=s["total_tiles"],
         get_tile_cold_sec=round(cold, 3),
-        get_tile_warm_sec=round(warm, 6),
-        target_tile_features=n_feat,
+        get_tile_warm_sec=round(warm, 4),
+        target_tile_features=int(n_feat),
     )
     spark.stop()
+    shutil.rmtree(out_dir, ignore_errors=True)
     return out
 
 
