@@ -222,7 +222,27 @@ def sanitize_pdf(pdf: pd.DataFrame, schema: Optional[T.StructType] = None) -> pd
 
 
 def create_feature_df(spark, pdf: pd.DataFrame, schema):
-    """Driver-side pandas -> DataFrame that works with or without Arrow."""
+    """Driver-side pandas -> DataFrame that works with or without Arrow.
+
+    Arrow sessions (the engine's own) take the fast path: Arrow converts
+    numpy-array cells and NaN nulls natively, so the per-cell sanitize —
+    which exists for the NON-Arrow verifier in external sessions (the
+    driver harness) — would only burn driver CPU (it dominated the
+    large-input drill-down: per-cell tolist over 10^5-row leaf frames).
+    Arrow conversion errors fall back to the sanitized path (conversion
+    happens eagerly at createDataFrame, so failures surface here)."""
+    try:
+        arrow_on = (
+            spark.conf.get("spark.sql.execution.arrow.pyspark.enabled")
+            == "true"
+        )
+    except Exception:
+        arrow_on = False
+    if arrow_on:
+        try:
+            return spark.createDataFrame(pdf, schema=schema)
+        except Exception:
+            pass  # e.g. a cell shape Arrow rejects: sanitize and retry
     return spark.createDataFrame(sanitize_pdf(pdf, schema), schema=schema)
 
 

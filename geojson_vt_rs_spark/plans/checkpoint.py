@@ -531,14 +531,21 @@ class CheckpointedPyramid:
         # leaves an orphan leaves dir that a retried drill replaces)
         drill_tag = f"drill_{z}_{x}_{y}"
         if drill.leaf_features:
+            import pandas as _pd
+
             stg = os.path.join(out_dir, "_staging", f"leaves_{drill_tag}")
             fin = os.path.join(leaves_path, f"level={drill_tag}")
             shutil.rmtree(stg, ignore_errors=True)
             shutil.rmtree(fin, ignore_errors=True)
-            for tid, pdf in drill.leaf_features.items():
-                create_feature_df(
-                    self.spark, pdf[TILED_COLS], TILED_FEATURE_SCHEMA
-                ).write.mode("append").partitionBy("z").parquet(stg)
+            # ONE createDataFrame + write for all drill leaves (a per-tile
+            # write loop paid a full Spark job per tile on the drill path)
+            all_leaves = _pd.concat(
+                [pdf[TILED_COLS] for pdf in drill.leaf_features.values()],
+                ignore_index=True,
+            )
+            create_feature_df(
+                self.spark, all_leaves, TILED_FEATURE_SCHEMA
+            ).write.mode("append").partitionBy("z").parquet(stg)
             os.makedirs(leaves_path, exist_ok=True)
             os.rename(stg, fin)
         if new_rows:
