@@ -101,7 +101,10 @@ def _measure(job, cpus):
     return best_dirty, best_dirty_steal, "dirty_fallback"
 
 
-def main():
+def measure_levels(levels):
+    """Measure the full+gen jobs at the given parallelism levels and
+    write a partial JSON (lets long runs split across command windows:
+    SPARK_GRAFT_SCALING_LEVELS="4,16" then "8,32", then --merge)."""
     import bench
 
     def full_job(s, c):
@@ -112,9 +115,43 @@ def main():
         return _gen_only(s, c, N)
 
     full, gen, run_kind = {}, {}, {}
-    for c in sorted({c for pair in PAIRS for c in pair}):
+    for c in levels:
         full[c], _, run_kind[f"full[{c}]"] = _measure(full_job, c)
         gen[c], _, run_kind[f"gen[{c}]"] = _measure(gen_job, c)
+    return full, gen, run_kind
+
+
+def merge_partials(paths):
+    full, gen, run_kind = {}, {}, {}
+    for p in paths:
+        with open(p) as fh:
+            d = json.load(fh)
+        full.update({int(k): v for k, v in d["full"].items()})
+        gen.update({int(k): v for k, v in d["gen"].items()})
+        run_kind.update(d["run_kind"])
+    return full, gen, run_kind
+
+
+def main():
+    levels_env = os.environ.get("SPARK_GRAFT_SCALING_LEVELS")
+    if levels_env:
+        levels = [int(c) for c in levels_env.split(",")]
+        full, gen, run_kind = measure_levels(levels)
+        part = f"/root/repo/.scaling_partial_{'_'.join(map(str, levels))}.json"
+        with open(part, "w") as fh:
+            json.dump(dict(full=full, gen=gen, run_kind=run_kind), fh)
+        print(json.dumps(dict(partial=part, full=full, gen=gen)))
+        return
+    if "--merge" in sys.argv:
+        import glob
+
+        full, gen, run_kind = merge_partials(
+            sorted(glob.glob("/root/repo/.scaling_partial_*.json"))
+        )
+    else:
+        full, gen, run_kind = measure_levels(
+            sorted({c for pair in PAIRS for c in pair})
+        )
 
     control = raw_control()
     eff = {f"{a}->{b}": round(full[b] / (4.0 * full[a]), 3) for a, b in PAIRS}
