@@ -105,20 +105,6 @@ def _huff_codes(bits, values):
     return out
 
 
-def _huff_decoder(bits, values):
-    """(length, code) -> symbol map for bit-serial decoding."""
-    out = {}
-    code = 0
-    k = 0
-    for length in range(1, 17):
-        for _ in range(bits[length - 1]):
-            out[(length, code)] = values[k]
-            code += 1
-            k += 1
-        code <<= 1
-    return out
-
-
 # orthonormal 8x8 DCT-II matrix; JPEG's FDCT/IDCT pair = T @ B @ T.T
 _T = np.zeros((8, 8))
 for _u in range(8):
@@ -157,26 +143,40 @@ def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
 
 
 class _BitWriter:
+    """Collects (value, nbits) tokens; ONE vectorized numpy pass packs
+    them to the stuffed byte stream at the end (a per-bit Python loop
+    was ~half the 4 ms/image encode cost)."""
+
     def __init__(self):
-        self.buf = bytearray()
-        self.acc = 0
-        self.nbits = 0
+        self.vals: list = []
+        self.lens: list = []
 
     def write(self, code: int, length: int):
-        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
-        self.nbits += length
-        while self.nbits >= 8:
-            self.nbits -= 8
-            byte = (self.acc >> self.nbits) & 0xFF
-            self.buf.append(byte)
-            if byte == 0xFF:
-                self.buf.append(0x00)  # byte stuffing
-        self.acc &= (1 << self.nbits) - 1
+        self.vals.append(code & ((1 << length) - 1))
+        self.lens.append(length)
 
-    def flush(self):
-        if self.nbits:
-            pad = 8 - self.nbits
-            self.write((1 << pad) - 1, pad)  # 1-fill per F.1.2.3
+    def tobytes(self) -> bytes:
+        if not self.vals:
+            return b""
+        vals = np.asarray(self.vals, dtype=np.uint32)
+        lens = np.asarray(self.lens, dtype=np.int64)
+        maxw = 32
+        # (n, 32) bit matrix, big-endian within each token
+        bits = ((vals[:, None] >> np.arange(maxw - 1, -1, -1)) & 1).astype(
+            np.uint8
+        )
+        # select the last `len` bits of each token, in order
+        keep = np.arange(maxw) >= (maxw - lens)[:, None]
+        flat = bits[keep]  # row-major: token order preserved
+        pad = (-len(flat)) % 8
+        if pad:
+            flat = np.concatenate([flat, np.ones(pad, np.uint8)])  # F.1.2.3
+        raw = np.packbits(flat)
+        # byte-stuff 0xFF -> 0xFF 0x00
+        ff = np.nonzero(raw == 0xFF)[0]
+        if len(ff):
+            raw = np.insert(raw, ff + 1, 0)
+        return raw.tobytes()
 
 
 def _magnitude(v: int):
@@ -238,18 +238,30 @@ def encode_jpeg(rgb: np.ndarray, quality: int = 98) -> bytes:
     dctabs = (dc_l, dc_c, dc_c)
     actabs = (ac_l, ac_c, ac_c)
 
+    # batch FDCT + quantize over every block in three numpy passes
+    nby, nbx = ph // 8, pw // 8
+    blocks = (
+        padded.reshape(nby, 8, nbx, 8, 3)
+        .transpose(0, 2, 4, 1, 3)
+        .reshape(-1, 8, 8)  # (by, bx, c) order — the MCU scan order
+    )
+    coefs = np.einsum("ij,njk,kl->nil", _T, blocks, _T.T).reshape(-1, 64)
+    qmat = np.vstack([qtabs[c] for c in range(3)])  # (3, 64)
+    qall = np.round(
+        coefs / np.tile(qmat, (nby * nbx, 1))
+    ).astype(np.int64)
+
     bw = _BitWriter()
     prev = [0, 0, 0]
-    for by in range(0, ph, 8):
-        for bx in range(0, pw, 8):
+    bi = 0
+    for _by in range(nby):
+        for _bx in range(nbx):
             for c in range(3):
-                blk = padded[by : by + 8, bx : bx + 8, c]
-                coef = _T @ blk @ _T.T
-                q = np.round(coef.reshape(64) / qtabs[c]).astype(np.int64)
                 prev[c] = _encode_block(
-                    bw, q, prev[c], dctabs[c], actabs[c]
+                    bw, qall[bi], prev[c], dctabs[c], actabs[c]
                 )
-    bw.flush()
+                bi += 1
+    entropy = bw.tobytes()
 
     def seg(marker, payload):
         return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
@@ -271,44 +283,51 @@ def encode_jpeg(rgb: np.ndarray, quality: int = 98) -> bytes:
         sos += bytes([cid, tabs])
     sos += bytes([0, 63, 0])
     out += seg(0xDA, sos)
-    out += bw.buf
+    out += entropy
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
 
 class _BitReader:
+    """Entropy-segment reader: destuffs ONCE (numpy pass), then serves
+    peek/consume over an int accumulator — the per-bit Python loop was
+    the dominant decode cost (7.5 ms/image)."""
+
     def __init__(self, data: bytes):
-        self.data = data
+        arr = np.frombuffer(data, dtype=np.uint8)
+        ff = np.nonzero(arr[:-1] == 0xFF)[0]
+        stuffed = ff[arr[ff + 1] == 0x00] + 1  # the 0x00 bytes to drop
+        markers = ff[arr[ff + 1] != 0x00]
+        end = int(markers.min()) if len(markers) else len(arr)
+        keep = np.ones(end, dtype=bool)
+        keep[stuffed[stuffed < end]] = False
+        self.data = arr[:end][keep].tobytes()
+        self.nlen = len(self.data)
         self.pos = 0
         self.acc = 0
         self.nbits = 0
 
-    def _fill(self):
-        while self.nbits <= 24 and self.pos < len(self.data):
-            byte = self.data[self.pos]
+    def _need(self, n: int):
+        while self.nbits < n:
+            b = self.data[self.pos] if self.pos < self.nlen else 0
             self.pos += 1
-            if byte == 0xFF:
-                nxt = self.data[self.pos] if self.pos < len(self.data) else 0
-                if nxt == 0x00:
-                    self.pos += 1  # stuffed
-                else:
-                    byte = 0  # hit a marker; pad with zeros
-                    self.pos -= 1
-            self.acc = (self.acc << 8) | byte
+            self.acc = (self.acc << 8) | b
             self.nbits += 8
 
-    def bit(self) -> int:
-        if self.nbits == 0:
-            self._fill()
-            if self.nbits == 0:
-                return 0
-        self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
+    def peek16(self) -> int:
+        self._need(16)
+        return (self.acc >> (self.nbits - 16)) & 0xFFFF
 
-    def bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.bit()
+    def consume(self, n: int):
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
+
+    def get(self, n: int) -> int:
+        if n == 0:
+            return 0
+        self._need(n)
+        v = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
+        self.consume(n)
         return v
 
 
@@ -318,14 +337,32 @@ def _extend(bits: int, cat: int) -> int:
     return bits if bits >= (1 << (cat - 1)) else bits - (1 << cat) + 1
 
 
-def _read_symbol(br: _BitReader, dec: dict) -> int:
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | br.bit()
-        sym = dec.get((length, code))
-        if sym is not None:
-            return sym
-    raise ValueError("invalid JPEG: bad Huffman code")
+_DEC_TABLE_CACHE: dict = {}
+
+
+def _prefix_table(bits, values):
+    """Canonical Huffman -> 16-bit-prefix lookup (symbol, codelen) —
+    one array index per symbol instead of a per-bit tree walk.  Cached
+    per table spec (the Annex K tables recur across every image)."""
+    key = (tuple(bits), tuple(values))
+    t = _DEC_TABLE_CACHE.get(key)
+    if t is None:
+        sym = np.zeros(1 << 16, dtype=np.int16)
+        ln = np.zeros(1 << 16, dtype=np.int8)
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                base = code << (16 - length)
+                span = 1 << (16 - length)
+                sym[base : base + span] = values[k]
+                ln[base : base + span] = length
+                code += 1
+                k += 1
+            code <<= 1
+        t = (sym, ln)
+        _DEC_TABLE_CACHE[key] = t
+    return t
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
@@ -386,7 +423,7 @@ def _decode_jpeg_body(data: bytes) -> np.ndarray:
                 bits = list(seg[i + 1 : i + 17])
                 nvals = sum(bits)
                 vals = list(seg[i + 17 : i + 17 + nvals])
-                hts[tc_th] = _huff_decoder(bits, vals)
+                hts[tc_th] = _prefix_table(bits, vals)
                 i += 17 + nvals
         elif marker == 0xDA:
             ns = seg[0]
@@ -397,21 +434,41 @@ def _decode_jpeg_body(data: bytes) -> np.ndarray:
 
     br = _BitReader(data[pos:])
     ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-    planes = np.zeros((3, ph, pw))
+    nby, nbx = ph // 8, pw // 8
     dctabs = {cid: hts[tabs >> 4] for cid, tabs in scan}
     actabs = {cid: hts[0x10 | (tabs & 0x0F)] for cid, tabs in scan}
     qtabs = {cid: qt[tq] for cid, _, tq in comps}
     prev = {cid: 0 for cid, _, _ in comps}
-    for by in range(0, ph, 8):
-        for bx in range(0, pw, 8):
-            for ci, (cid, _, _) in enumerate(comps):
-                zz = np.zeros(64, np.int64)
-                cat = _read_symbol(br, dctabs[cid])
-                prev[cid] += _extend(br.bits(cat), cat)
+    n_blocks = nby * nbx * len(comps)
+    all_zz = np.zeros((n_blocks, 64), dtype=np.int64)
+    qrows = np.empty((n_blocks, 64), dtype=np.int64)
+    bi = 0
+    peek16 = br.peek16
+    consume = br.consume
+    get = br.get
+    for _by in range(nby):
+        for _bx in range(nbx):
+            for cid, _, _ in comps:
+                dsym, dln = dctabs[cid]
+                asym, aln = actabs[cid]
+                zz = all_zz[bi]
+                qrows[bi] = qtabs[cid]
+                p = peek16()
+                cat = int(dsym[p])
+                length = int(dln[p])
+                if length == 0:
+                    raise ValueError("invalid JPEG: bad Huffman code")
+                consume(length)
+                prev[cid] += _extend(get(cat), cat)
                 zz[0] = prev[cid]
                 k = 1
                 while k < 64:
-                    rs = _read_symbol(br, actabs[cid])
+                    p = peek16()
+                    rs = int(asym[p])
+                    length = int(aln[p])
+                    if length == 0:
+                        raise ValueError("invalid JPEG: bad Huffman code")
+                    consume(length)
                     r, s = rs >> 4, rs & 0x0F
                     if s == 0:
                         if r == 15:
@@ -419,11 +476,18 @@ def _decode_jpeg_body(data: bytes) -> np.ndarray:
                             continue
                         break  # EOB
                     k += r
-                    zz[k] = _extend(br.bits(s), s)
+                    zz[k] = _extend(get(s), s)
                     k += 1
-                nat = np.zeros(64, np.int64)
-                nat[_ZIGZAG] = zz
-                coef = (nat * qtabs[cid]).reshape(8, 8).astype(np.float64)
-                planes[ci, by : by + 8, bx : bx + 8] = _T.T @ coef @ _T
+                bi += 1
+    # dezigzag + dequantize + IDCT for ALL blocks in three numpy passes
+    nat = np.zeros((n_blocks, 64), dtype=np.int64)
+    nat[:, _ZIGZAG] = all_zz
+    coef = (nat * qrows).reshape(n_blocks, 8, 8).astype(np.float64)
+    blocks = np.einsum("ij,njk,kl->nil", _T.T, coef, _T)
+    planes = (
+        blocks.reshape(nby, nbx, len(comps), 8, 8)
+        .transpose(2, 0, 3, 1, 4)
+        .reshape(len(comps), ph, pw)
+    )
     ycc = planes.transpose(1, 2, 0)[:h, :w] + 128.0
     return _ycbcr_to_rgb(ycc)
