@@ -33,30 +33,48 @@ def _duck_shingles(col: str = "text") -> str:
     return f"list_transform(range(1, greatest(length({col})-4, 1)+1, 3), i -> substr({col}, i, 5))"
 
 
-def spark_minhash_expr(p: int, col: str = "text") -> str:
-    return (
-        f"array_min(transform({_spark_shingles(col)}, "
-        f"s -> cast(conv(substr(md5(concat('{p}:', s)), 1, 15), 16, 10) as bigint)))"
-    )
+# The 8 permutations take four INDEPENDENT 32-bit slices from each of
+# TWO md5s per shingle (md5(s), md5('x'||s)) — 2 md5 calls instead of 8.
+# (A Kirsch–Mitzenmacher a+p*b family was tried first: its per-shingle
+# mins correlate across permutations, which doubled the band-collision
+# candidate rate on the test corpus.  Independent md5 slices keep the
+# candidate rate at the true-permutation baseline.)  The md5 arrays
+# materialize into columns once (Catalyst does no CSE across HOF
+# lambdas); each minhash is then a substr/conv fold.
 
 
-def duck_minhash_expr(p: int, col: str = "text") -> str:
-    return (
-        f"list_min(list_transform({_duck_shingles(col)}, "
-        f"s -> ('0x' || substr(md5(concat('{p}:', s)), 1, 15))::BIGINT))"
-    )
+def _spark_minhash_over(hx: str, p: int) -> str:
+    off = 8 * (p % 4) + 1
+    v = f"cast(conv(substr(h, {off}, 8), 16, 10) as bigint)"
+    return f"array_min(transform({hx}, h -> {v}))"
+
+
+def _duck_minhash_over(hx: str, p: int) -> str:
+    off = 8 * (p % 4) + 1
+    v = f"('0x' || substr(h, {off}, 8))::BIGINT"
+    return f"list_min(list_transform({hx}, h -> {v}))"
 
 
 def with_minhashes(docs: DataFrame) -> DataFrame:
-    """doc_id + the 8 minhashes as ONE array column — computed in a
-    single projection (a per-band union would re-evaluate the md5
-    shingle pipeline once per branch: Catalyst does no CSE across
-    union legs)."""
-    return docs.select(
+    """doc_id + the 8 minhashes as ONE array column.  The two shingle
+    md5 arrays are materialized into their own columns first; each
+    minhash is then a cheap fold over one of them."""
+    d = docs.withColumn(
+        "__hx", F.expr(f"transform({_spark_shingles()}, s -> md5(s))")
+    ).withColumn(
+        "__hx2",
+        F.expr(f"transform({_spark_shingles()}, s -> md5(concat('x', s)))"),
+    )
+    return d.select(
         "doc_id",
-        F.array(*[F.expr(spark_minhash_expr(p)) for p in range(N_PERM)]).alias(
-            "mhs"
-        ),
+        F.array(
+            *[
+                F.expr(
+                    _spark_minhash_over("__hx" if p < 4 else "__hx2", p)
+                )
+                for p in range(N_PERM)
+            ]
+        ).alias("mhs"),
     )
 
 
@@ -146,7 +164,10 @@ def minhash_band_pairs(docs: DataFrame) -> DataFrame:
 
 
 def duck_minhash_pairs_sql() -> str:
-    mh_cols = ", ".join(f"{duck_minhash_expr(p)} AS mh{p}" for p in range(N_PERM))
+    mh_cols = ", ".join(
+        f"{_duck_minhash_over('hx' if p < 4 else 'hx2', p)} AS mh{p}"
+        for p in range(N_PERM)
+    )
     bands = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, "
         f"concat(CAST(mh{2*b} AS VARCHAR), ',', CAST(mh{2*b+1} AS VARCHAR)) AS bkey, "
@@ -158,7 +179,11 @@ def duck_minhash_pairs_sql() -> str:
         f"(CASE WHEN a.mh{p} = b.mh{p} THEN 1 ELSE 0 END)" for p in range(N_PERM)
     )
     return (
-        f"WITH mh AS (SELECT doc_id, {mh_cols} FROM documents), "
+        "WITH hxs AS (SELECT doc_id, "
+        f"list_transform({_duck_shingles()}, s -> md5(s)) AS hx, "
+        f"list_transform({_duck_shingles()}, s -> md5(concat('x', s))) AS hx2 "
+        "FROM documents), "
+        f"mh AS (SELECT doc_id, {mh_cols} FROM hxs), "
         f"bands AS ({bands}) "
         f"SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, "
         f"CAST(({n_eq}) AS DOUBLE) / {float(N_PERM)} AS est_sim "
