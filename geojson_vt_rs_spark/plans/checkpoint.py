@@ -30,10 +30,7 @@ from pyspark.sql import functions as F
 
 from geojson_vt_rs_spark.config import Options
 from geojson_vt_rs_spark.operators.pipeline import convert_stage, wrap_stage
-from geojson_vt_rs_spark.operators.schema import (
-    TILED_FEATURE_SCHEMA,
-    create_feature_df,
-)
+from geojson_vt_rs_spark.operators.schema import TILED_FEATURE_SCHEMA
 from geojson_vt_rs_spark.plans.pyramid import (
     K_CHILD,
     K_LEAF,
@@ -491,80 +488,218 @@ class CheckpointedPyramid:
         if leaf is None:
             return self.read_tile(out_dir, z, x, y)  # empty result
 
-        # drill down in memory (reuses the proven loop), then persist the
-        # newly created tiles/leaves back into the store
-        from geojson_vt_rs_spark.plans.pyramid import SparkGeoJSONVT
-
-        drill = SparkGeoJSONVT.__new__(SparkGeoJSONVT)
-        drill.spark = self.spark
-        drill.options = o
-        drill.tiles = {}
-        drill.leaf_features = {}
-        drill.stats = {}
-        drill.total = 0
-        drill._local = None
-        drill._run(leaf, az, ax, ay, z, x, y)
-
-        new_rows = []
-        for t in drill.tiles.values():
-            if t.z == az and t.x == ax and t.y == ay:
-                continue  # the ancestor itself is already in the store
-            if self._tile_exists(out_dir, t.z, t.x, t.y):
-                continue
-            import json as _json
-
-            for idx, tf in enumerate(t.features):
-                new_rows.append(
-                    (t.z, t.x, t.y, idx, tf["type"], tf["kind"],
-                     _json.dumps(tf["geometry"], separators=(",", ":")),
-                     None if tf["tags"] is None else _json.dumps(
-                         tf["tags"], separators=(",", ":")),
-                     tf["id_str"], tf["id_num"], tf["id_float"],
-                     t.num_points, t.num_simplified, "drill")
-                )
-            new_rows.append(
-                (t.z, t.x, t.y, -1, None, None, None, None, None, None, None,
-                 t.num_points, t.num_simplified, "drill")
-            )
+        # drill DISTRIBUTED: the same decision-first level loop as run(),
+        # with target-aware decisions — tiles and leaves stream from the
+        # executors straight into the staging dirs.  (The previous
+        # in-memory drill collected every sibling leaf through the driver
+        # and shipped it back — a driver-memory ceiling at scale.)
+        drill_tag = f"drill_{z}_{x}_{y}"
+        stg_t = os.path.join(out_dir, "_staging", f"tiles_{drill_tag}")
+        stg_l = os.path.join(out_dir, "_staging", f"leaves_{drill_tag}")
+        fin_t = os.path.join(out_dir, "tiles", f"level={drill_tag}")
+        fin_l = os.path.join(leaves_path, f"level={drill_tag}")
+        for p in (stg_t, stg_l, fin_t, fin_l):
+            shutil.rmtree(p, ignore_errors=True)
+        self._drill_levels(out_dir, leaf, (az, ax, ay), (z, x, y), stg_t, stg_l)
         # staged + renamed like run()'s level commits; leaves publish FIRST
         # so the tiles rename is the commit point (a crash in between only
-        # leaves an orphan leaves dir that a retried drill replaces)
-        drill_tag = f"drill_{z}_{x}_{y}"
-        if drill.leaf_features:
-            import pandas as _pd
-
-            stg = os.path.join(out_dir, "_staging", f"leaves_{drill_tag}")
-            fin = os.path.join(leaves_path, f"level={drill_tag}")
-            shutil.rmtree(stg, ignore_errors=True)
-            shutil.rmtree(fin, ignore_errors=True)
-            # ONE createDataFrame + write for all drill leaves (a per-tile
-            # write loop paid a full Spark job per tile on the drill path)
-            all_leaves = _pd.concat(
-                [pdf[TILED_COLS] for pdf in drill.leaf_features.values()],
-                ignore_index=True,
-            )
-            create_feature_df(
-                self.spark, all_leaves, TILED_FEATURE_SCHEMA
-            ).write.mode("append").partitionBy("z").parquet(stg)
+        # leaves an orphan leaves dir the entry sweep removes)
+        if os.path.isdir(stg_l):
             os.makedirs(leaves_path, exist_ok=True)
-            os.rename(stg, fin)
-        if new_rows:
-            schema = (
-                "z int, x int, y int, feature_idx int, type int, kind int, "
-                "geometry_json string, tags_json string, tile_id_str string, "
-                "tile_id_num long, tile_id_float double, tile_num_points int, "
-                "tile_num_simplified int, action string"
-            )
-            stg = os.path.join(out_dir, "_staging", f"tiles_{drill_tag}")
-            fin = os.path.join(out_dir, "tiles", f"level={drill_tag}")
-            shutil.rmtree(stg, ignore_errors=True)
-            shutil.rmtree(fin, ignore_errors=True)
-            self.spark.createDataFrame(new_rows, schema).write.mode(
-                "append"
-            ).partitionBy("z").parquet(stg)
+            os.rename(stg_l, fin_l)
+        if os.path.isdir(stg_t):
             os.makedirs(os.path.join(out_dir, "tiles"), exist_ok=True)
-            os.rename(stg, fin)
+            os.rename(stg_t, fin_t)
         return self.read_tile(out_dir, z, x, y)
+
+    def _drill_levels(
+        self, out_dir: str, frontier: DataFrame, root: tuple, target: tuple,
+        stg_tiles: str, stg_leaves: str,
+    ) -> None:
+        """Target-directed pyramid levels from the ancestor's retained
+        leaves: non-path tiles stop and retain (lib.rs:324-338), the path
+        tile splits until it fuses or reaches the target.  One fused
+        render+split pass per level; every write is executor-side.  Tiles
+        already in the store (the re-split ancestor; cousins from prior
+        drills) are excluded via a broadcast anti-join on the index-sized
+        existing-key set."""
+        from pyspark.sql import Window
+
+        from geojson_vt_rs_spark.operators.pipeline import (
+            RS_CHILD,
+            RS_RENDER,
+            render_split_stage,
+        )
+        from geojson_vt_rs_spark.plans.pyramid import (
+            K_LEAF,
+            K_STATS,
+            K_TILE,
+            STEP_SCHEMA,
+            TILED_COLS,
+            _level_kernel,
+            fuse_bound,
+        )
+
+        spark = self.spark
+        o = self.options
+        az, ax, ay = root
+        cz, cx, cy = target
+        kernel = _level_kernel(o, cz, cx, cy, force_subtree=True)
+        fuse_max = fuse_bound(o, cz)
+        existing = {
+            (int(r.z), int(r.x), int(r.y))
+            for r in spark.read.parquet(os.path.join(out_dir, "tiles"))
+            .select("z", "x", "y").distinct().collect()
+        }
+        exist_df = F.broadcast(
+            spark.createDataFrame(
+                [(a, b, c) for a, b, c in existing] or [(-1, -1, -1)],
+                "z int, x int, y int",
+            )
+        )
+        tiles_schema = (
+            "z int, x int, y int, feature_idx int, type int, kind int, "
+            "geometry_json string, tags_json string, tile_id_str string, "
+            "tile_id_num long, tile_id_float double, tile_num_points int, "
+            "tile_num_simplified int, action string"
+        )
+
+        def _decide(tz, tx, ty, tnp):
+            if tz == o.max_zoom:
+                return "stop"
+            if tz == cz:
+                return "leaf"
+            m = 1 << (cz - tz)
+            if tx != cx // m or ty != cy // m:
+                return "leaf"
+            return "fuse" if tnp <= fuse_max else "split"
+
+        w = Window.partitionBy("z", "x", "y").orderBy(
+            "world_copy", "feature_seq", "slice_path", "sub_idx"
+        )
+        pending_children: list = []
+        prev = None
+        while True:
+            frontier = frontier.persist()
+            np_pdf = (
+                frontier.groupBy("z", "x", "y")
+                .agg(F.sum("num_points").alias("tnp"))
+                .toPandas()
+            )
+            if prev is not None:
+                prev.unpersist()
+            observed = {
+                (int(r.z), int(r.x), int(r.y)) for r in np_pdf.itertuples()
+            }
+            empty_rows = [
+                (ez, ex, ey, -1, None, None, None, None, None, None, None,
+                 0, 0, "drill")
+                for ez, ex, ey in pending_children
+                if (ez, ex, ey) not in observed and (ez, ex, ey) not in existing
+            ]
+            if np_pdf.empty:
+                if empty_rows:
+                    spark.createDataFrame(empty_rows, tiles_schema).write.mode(
+                        "append"
+                    ).partitionBy("z").parquet(stg_tiles)
+                frontier.unpersist()
+                return
+            decisions = [
+                (int(r.z), int(r.x), int(r.y),
+                 _decide(int(r.z), int(r.x), int(r.y), int(r.tnp)),
+                 int(r.tnp))
+                for r in np_pdf.itertuples(index=False)
+            ]
+            ddf = spark.createDataFrame(
+                [(tz, tx, ty, a) for tz, tx, ty, a, _ in decisions],
+                "z int, x int, y int, action string",
+            )
+            fr = frontier.join(F.broadcast(ddf), ["z", "x", "y"]).persist()
+
+            step2 = render_split_stage(
+                fr.filter(F.col("action") != "fuse"), o
+            ).localCheckpoint(eager=False)
+            rend = step2.filter(F.col("row_kind") == RS_RENDER)
+            rend.filter(F.col("sub_idx") >= 0).withColumn(
+                "feature_idx", F.row_number().over(w) - 1
+            ).select(
+                "z", "x", "y", "feature_idx", "type", "kind",
+                "geometry_json", "tags_json",
+                F.col("id_str").alias("tile_id_str"),
+                F.col("id_num").alias("tile_id_num"),
+                F.col("id_float").alias("tile_id_float"),
+                F.lit(None).cast("int").alias("tile_num_points"),
+                F.lit(None).cast("int").alias("tile_num_simplified"),
+                F.lit("drill").alias("action"),
+            ).join(exist_df, ["z", "x", "y"], "left_anti").write.mode(
+                "append"
+            ).partitionBy("z").parquet(stg_tiles)
+            agg = (
+                rend.groupBy("z", "x", "y")
+                .agg(F.sum("n_emitted").alias("ns"))
+                .toPandas()
+            )
+            frontier.unpersist()
+            ns_map = {
+                (int(r.z), int(r.x), int(r.y)): int(r.ns)
+                for r in agg.itertuples(index=False)
+            }
+            stats_rows = empty_rows + [
+                (tz, tx, ty, -1, None, None, None, None, None, None, None,
+                 tnp, ns_map.get((tz, tx, ty), 0), "drill")
+                for tz, tx, ty, a, tnp in decisions
+                if a != "fuse" and (tz, tx, ty) not in existing
+            ]
+            if stats_rows:
+                spark.createDataFrame(stats_rows, tiles_schema).write.mode(
+                    "append"
+                ).partitionBy("z").parquet(stg_tiles)
+
+            if any(a == "fuse" for _, _, _, a, _ in decisions):
+                step = (
+                    fr.filter(F.col("action") == "fuse")
+                    .drop("action")
+                    .groupBy("z", "x", "y")
+                    .applyInPandas(kernel, schema=STEP_SCHEMA)
+                    .join(exist_df, ["z", "x", "y"], "left_anti")
+                    .persist()
+                )
+                step.filter(F.col("row_kind").isin(K_TILE, K_STATS)).select(
+                    "z", "x", "y", "feature_idx", "type", "kind",
+                    "geometry_json", "tags_json", "tile_id_str",
+                    "tile_id_num", "tile_id_float",
+                    "tile_num_points", "tile_num_simplified",
+                    F.lit("drill").alias("action"),
+                ).write.mode("append").partitionBy("z").parquet(stg_tiles)
+                step.filter(F.col("row_kind") == K_LEAF).select(
+                    *TILED_COLS
+                ).write.mode("append").partitionBy("z").parquet(stg_leaves)
+                step.unpersist()
+
+            if any(a == "leaf" for _, _, _, a, _ in decisions):
+                fr.filter(F.col("action") == "leaf").join(
+                    exist_df, ["z", "x", "y"], "left_anti"
+                ).select(*TILED_COLS).write.mode("append").partitionBy(
+                    "z"
+                ).parquet(stg_leaves)
+
+            split_parents = [
+                (tz, tx, ty) for tz, tx, ty, a, _ in decisions if a == "split"
+            ]
+            fr.unpersist()
+            if not split_parents:
+                step2.unpersist()
+                return
+            pending_children = [
+                (tz + 1, 2 * tx + dx, 2 * ty + dy)
+                for tz, tx, ty in split_parents
+                for dx in (0, 1)
+                for dy in (0, 1)
+            ]
+            frontier = step2.filter(F.col("row_kind") == RS_CHILD).select(
+                *TILED_COLS
+            )
+            prev = step2
 
 
 def checkpointed_mosaic(

@@ -442,3 +442,41 @@ def test_iceberg_sink_gating(spark, tmp_path):
     shutil.rmtree(os.path.join(out, "_manifests"))
     s2 = cp.run(feats, out)
     assert s2["total_tiles"] == s1["total_tiles"]
+
+
+def test_multi_drill_divergent_targets(spark, tmp_path):
+    """Two drills whose paths share a prefix then diverge: every drilled
+    tile matches the in-memory tiler, and cousin tiles created by the
+    first drill are not duplicated by the second (anti-join guard)."""
+    from geojson_vt_rs_spark.plans.pyramid import SparkGeoJSONVT
+
+    out = str(tmp_path / "pyr_md")
+    feats = read_geojson_features(
+        spark, "/root/reference/fixtures/us-states.json"
+    )
+    opts = Options()
+    cp = CheckpointedPyramid(spark, opts)
+    cp.run(feats, out)
+    mem = SparkGeoJSONVT(spark, feats, opts)
+
+    # paths share z0..z5 then diverge (37//2=18 vs 38//2=19 at z6)
+    for tz, tx, ty in [(7, 37, 48), (7, 38, 48), (8, 74, 96)]:
+        got = cp.get_tile(out, tz, tx, ty).toPandas()
+        want = mem.get_tile(tz, tx, ty).features
+        assert len(got) == len(want), (tz, tx, ty)
+        assert not got.duplicated(subset=["feature_idx"]).any()
+        for i, tf in enumerate(want):
+            row = got.iloc[i]
+            assert json.loads(row["geometry_json"]) == tf["geometry"]
+    # the shared-prefix tiles exist exactly once in the store
+    import pyspark.sql.functions as Fx
+
+    dup = (
+        spark.read.parquet(os.path.join(out, "tiles"))
+        .filter(Fx.col("feature_idx") == -1)
+        .groupBy("z", "x", "y")
+        .count()
+        .filter(Fx.col("count") > 1)
+        .count()
+    )
+    assert dup == 0
