@@ -616,7 +616,28 @@ def clip_feature(
 def clip_features(
     features: list, axis: int, k1: float, k2: float, line_metrics: bool
 ) -> list:
-    """Clip a feature list against band [k1,k2] on ``axis`` (clip.rs:365-433)."""
+    """Clip a feature list against band [k1,k2] on ``axis`` (clip.rs:365-433).
+
+    Large lists take a vectorized bbox pre-pass: trivial accepts keep the
+    feature object unchanged and trivial rejects drop it — exactly
+    clip_feature's own first two branches — so only straddlers pay the
+    per-feature clip (points never straddle: bbox_min == bbox_max)."""
+    n = len(features)
+    if n >= 64:
+        lo, hi = (0, 2) if axis == 0 else (1, 3)
+        mins = np.fromiter((f.bbox[lo] for f in features), np.float64, count=n)
+        maxs = np.fromiter((f.bbox[hi] for f in features), np.float64, count=n)
+        acc = (mins >= k1) & (maxs < k2)
+        straddle = ~acc & (maxs >= k1) & (mins < k2)
+        if not straddle.any():
+            return [f for f, a in zip(features, acc.tolist()) if a]
+        out = []
+        for f, a, s in zip(features, acc.tolist(), straddle.tolist()):
+            if a:
+                out.append(f)
+            elif s:
+                out.extend(clip_feature(f, axis, k1, k2, line_metrics))
+        return out
     out = []
     for f in features:
         out.extend(clip_feature(f, axis, k1, k2, line_metrics))

@@ -123,15 +123,63 @@ def convert(features: list, tolerance: float, generate_id: bool) -> list:
     ``generate_id`` assigns the 0-based *input* index as numeric id —
     assigned before the empty-feature drop, so ids of dropped features
     are skipped, matching the reference's gen_id counter.
+
+    Point/MultiPoint features (no metrics, no simplify) batch into ONE
+    projection pass across the whole collection — elementwise identical
+    to convert_feature (same project_points call, bbox via per-feature
+    min/max reductions), so goldens are unaffected; per-feature numpy
+    dispatch was the dominant convert cost on point-heavy inputs
+    (the LargeGeoJSON shape).
     """
-    out = []
+    out: list = [None] * len(features)
+    pt_idx: list = []
+    pt_feats: list = []
     for gen_id, f in enumerate(features):
         if generate_id:
             f = VtFeature(**{**f.__dict__})
             f.id_str = None
             f.id_num = gen_id
             f.id_float = None
-        conv = convert_feature(f, tolerance)
-        if conv is not None:
-            out.append(conv)
-    return out
+        if (
+            f.geom_type in (GEOM_POINT, GEOM_MULTIPOINT)
+            and f.gc_kinds is None
+            and len(f.xs)
+        ):
+            pt_idx.append(gen_id)
+            pt_feats.append(f)
+        else:
+            out[gen_id] = convert_feature(f, tolerance)
+    if pt_feats:
+        m = len(pt_feats)
+        lens = np.fromiter((len(f.xs) for f in pt_feats), np.int64, count=m)
+        offs = np.zeros(m + 1, dtype=np.int64)
+        np.cumsum(lens, out=offs[1:])
+        all_x = np.concatenate([f.xs for f in pt_feats])
+        all_y = np.concatenate([f.ys for f in pt_feats])
+        X, Y = project_points(all_x, all_y)
+        Z = np.zeros(len(X), dtype=np.float64)
+        starts = offs[:-1]
+        # per-feature bbox, clamped exactly like finish_feature
+        minx = np.minimum(np.minimum.reduceat(X, starts), 2.0).tolist()
+        miny = np.minimum(np.minimum.reduceat(Y, starts), 1.0).tolist()
+        maxx = np.maximum(np.maximum.reduceat(X, starts), -1.0).tolist()
+        maxy = np.maximum(np.maximum.reduceat(Y, starts), 0.0).tolist()
+        for j, f in enumerate(pt_feats):
+            a, b = int(offs[j]), int(offs[j + 1])
+            nparts = f.nparts
+            out[pt_idx[j]] = VtFeature(
+                geom_type=f.geom_type,
+                xs=X[a:b],
+                ys=Y[a:b],
+                zs=Z[a:b],
+                part_offsets=f.part_offsets,
+                ring_offsets=f.ring_offsets,
+                part_dist=np.zeros(nparts, dtype=np.float64),
+                part_seg_start=np.zeros(nparts, dtype=np.float64),
+                part_seg_end=np.zeros(nparts, dtype=np.float64),
+                part_area=np.zeros(nparts, dtype=np.float64),
+                bbox=(minx[j], miny[j], maxx[j], maxy[j]),
+                num_points=int(lens[j]),
+                **f.meta(),
+            )
+    return [o for o in out if o is not None]

@@ -222,6 +222,30 @@ class TileEmitter:
             tags = None  # empty props -> no tags (tile.rs:86-90)
         self._add_geometry(f, tags, (f.id_str, f.id_num, f.id_float), pre)
 
+    def add_point_fast(self, f: VtFeature, tx: int, ty: int):
+        """Single-coordinate GEOM_POINT fast path: identical output to
+        add_feature (same tags/empty-props handling, geometry [[tx,ty]],
+        num_simplified += 1) without the per-feature numpy transform —
+        the local twin of pipeline.render_split_stage's vectorized point
+        render.  Caller guarantees geom_type == GEOM_POINT, len(xs) == 1,
+        and (tx, ty) computed by the same half-away transform."""
+        self.num_points += f.num_points
+        self.num_simplified += 1
+        tags = json.loads(f.props_json) if f.props_json else None
+        if tags is not None and not tags:
+            tags = None
+        self.features.append(
+            dict(
+                type=TYPE_POINT,
+                kind=GEOM_POINT,
+                geometry=[[tx, ty]],
+                tags=tags,
+                id_str=f.id_str,
+                id_num=f.id_num,
+                id_float=f.id_float,
+            )
+        )
+
 
 def _intify(v: float):
     """Integral floats serialize as JSON ints (tile.rs:183-198)."""
@@ -237,7 +261,40 @@ def emit_tile(
     tolerance: float,
     line_metrics: bool,
 ) -> TileEmitter:
+    """Render one tile.  For non-trivial feature lists the whole tile's
+    point transform runs in ONE numpy pass (all features share this
+    tile's (z2, x, y, sq_tolerance)), mirroring the distributed kernel's
+    cross-feature columnar render (pipeline.batch_pre_transform) —
+    elementwise identical to the per-feature path, asserted by the
+    dual-path golden tests."""
     em = TileEmitter(z, x, y, extent, tolerance, line_metrics)
+    n = len(features)
+    if n >= 8:
+        lens = np.fromiter((len(f.xs) for f in features), np.int64, count=n)
+        offs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lens, out=offs[1:])
+        if offs[-1]:
+            all_x = np.concatenate([f.xs for f in features])
+            all_y = np.concatenate([f.ys for f in features])
+            all_z = np.concatenate([f.zs for f in features])
+            tx = _round_half_away((all_x * em.z2 - em.x) * em.extent).astype(
+                np.int64
+            )
+            ty = _round_half_away((all_y * em.z2 - em.y) * em.extent).astype(
+                np.int64
+            )
+            keep = all_z > em.sq_tolerance
+            txl = tx.tolist()  # Python ints for the point fast path
+            tyl = ty.tolist()
+            offl = offs.tolist()
+            for i, f in enumerate(features):
+                a = offl[i]
+                if f.geom_type == GEOM_POINT and offl[i + 1] - a == 1:
+                    em.add_point_fast(f, txl[a], tyl[a])
+                else:
+                    b = offl[i + 1]
+                    em.add_feature(f, pre=(tx[a:b], ty[a:b], keep[a:b]))
+            return em
     for f in features:
         em.add_feature(f)
     return em

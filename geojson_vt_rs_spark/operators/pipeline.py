@@ -402,6 +402,11 @@ def render_stage(df: DataFrame, options) -> DataFrame:
 # fused render+split output: one row stream discriminated by row_kind
 RS_RENDER = 0
 RS_CHILD = 1
+# map-side partial child-point counts: one row per (child tile, batch)
+# carrying sum(num_points) in num_points — the driver's next-level
+# decision agg finishes these index-sized partials in pandas, so a
+# pyramid level needs NO separate Spark agg job (one wave per level)
+RS_CAGG = 2
 
 _RS_RENDER_ONLY = ["sub_idx", "type", "kind", "geometry_json", "tags_json",
                    "n_emitted"]
@@ -510,6 +515,7 @@ def render_split_stage(df: DataFrame, options: Options) -> DataFrame:
             slow_split = is_split & ~trivial
 
             parts: List[pd.DataFrame] = []
+            cagg: dict = {}  # (z,x,y) -> this batch's child point partial
             # pass-through children: pure pandas slicing
             for dx, xacc in ((0, xa0), (1, xa1)):
                 for dy, yacc in ((0, ya0), (1, ya1)):
@@ -528,6 +534,11 @@ def render_split_stage(df: DataFrame, options: Options) -> DataFrame:
                             [None] * len(sub), dtype=object, index=sub.index
                         )
                     parts.append(sub)
+                    g = sub.groupby(["z", "x", "y"], sort=False)[
+                        "num_points"
+                    ].sum()
+                    for k, v in g.items():
+                        cagg[k] = cagg.get(k, 0) + int(v)
 
             # vectorized render of the single-coordinate Point rows
             if is_pt.any():
@@ -648,8 +659,23 @@ def render_split_stage(df: DataFrame, options: Options) -> DataFrame:
                                     row["x"] = xi * 2 + dx
                                     row["y"] = yi * 2 + dy
                                     out.append(row)
+                                    ck = (zi + 1, xi * 2 + dx, yi * 2 + dy)
+                                    cagg[ck] = (
+                                        cagg.get(ck, 0) + qf.num_points
+                                    )
             if out:
                 parts.append(pd.DataFrame(out, columns=RS_COLS))
+            if cagg:
+                keys = list(cagg)
+                d = {c: [None] * len(keys) for c in RS_COLS}
+                d.update(
+                    row_kind=RS_CAGG,
+                    z=[k[0] for k in keys],
+                    x=[k[1] for k in keys],
+                    y=[k[2] for k in keys],
+                    num_points=[int(v) for v in cagg.values()],
+                )
+                parts.append(pd.DataFrame(d, columns=RS_COLS))
             # yield each part as its own Arrow batch: pd.concat of mixed
             # all-NA object frames triggers an elementwise NA scan (~4s
             # per 100k-row batch measured) that the separate batches skip

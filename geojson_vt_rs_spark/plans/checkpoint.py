@@ -124,6 +124,12 @@ class CheckpointedPyramid:
         self._iceberg = iceberg
         self._catalog_kwargs = catalog_kwargs
         self._sinks: dict = {}
+        # per-store memo of existing tile keys (the reference's in-memory
+        # tile memo, lib.rs:145-150): loaded with ONE stats-row job,
+        # invalidated on every publish by THIS object.  Exists purely to
+        # avoid re-scanning per lookup; external writers are out of scope
+        # (same single-writer contract as the staged-rename protocol).
+        self._keys: dict = {}
 
     def _sink(self, out_dir: str):
         if not self._iceberg:
@@ -153,6 +159,7 @@ class CheckpointedPyramid:
                 payload,
             )
         _write_manifest(out_dir, name, payload)
+        self._keys.pop(out_dir, None)  # tile set changed; memo reloads lazily
 
     def _get_manifest(self, out_dir: str, name: str) -> Optional[dict]:
         m = _read_manifest(out_dir, name)
@@ -448,11 +455,31 @@ class CheckpointedPyramid:
         )
 
     def _tile_exists(self, out_dir: str, z: int, x: int, y: int) -> bool:
-        df = (
-            self.spark.read.parquet(os.path.join(out_dir, "tiles"))
-            .filter((F.col("z") == z) & (F.col("x") == x) & (F.col("y") == y))
-        )
-        return len(df.take(1)) > 0
+        return (z, x, y) in self._tile_keys(out_dir)
+
+    def _tile_keys(self, out_dir: str) -> set:
+        """All existing tile keys, from the per-tile stats rows
+        (feature_idx == -1 — exactly one per tile) in ONE pushed-filter
+        scan; cached until this object publishes new tiles.  Replaces the
+        previous per-ancestor take(1) probes (one Spark job each) and
+        the full feature-row distinct in the drill."""
+        keys = self._keys.get(out_dir)
+        if keys is None:
+            tiles_root = os.path.join(out_dir, "tiles")
+            keys = set()
+            if os.path.isdir(tiles_root):
+                pdf = (
+                    self.spark.read.parquet(tiles_root)
+                    .filter(F.col("feature_idx") == -1)
+                    .select("z", "x", "y")
+                    .toPandas()
+                )
+                keys = {
+                    (int(r.z), int(r.x), int(r.y))
+                    for r in pdf.itertuples(index=False)
+                }
+            self._keys[out_dir] = keys
+        return keys
 
     def get_tile(self, out_dir: str, z: int, x_: int, y: int) -> DataFrame:
         """Full get_tile semantics on the parquet store (lib.rs:184-223):
@@ -466,24 +493,48 @@ class CheckpointedPyramid:
         _sweep_drill_orphans(out_dir)
         z2 = 1 << z
         x = ((x_ % z2) + z2) % z2
-        if self._tile_exists(out_dir, z, x, y):
+        tile_keys = self._tile_keys(out_dir)
+        if (z, x, y) in tile_keys:
             return self.read_tile(out_dir, z, x, y)
 
-        # find nearest memoized ancestor with retained leaf features
+        # find nearest memoized ancestor with retained leaf features:
+        # ONE pushed-filter probe over the ancestor path (z levels
+        # shrink the candidate set to <= max_zoom keys) instead of a
+        # sequential take(1) job per ancestor
         leaves_path = os.path.join(out_dir, "leaves")
+        path = []
         az, ax, ay = z, x, y
-        leaf = None
         while az != 0:
             az -= 1
             ax //= 2
             ay //= 2
-            cand = self.spark.read.parquet(leaves_path).filter(
-                (F.col("z") == az) & (F.col("x") == ax) & (F.col("y") == ay)
+            path.append((az, ax, ay))
+        leaf_set: set = set()
+        if path and os.path.isdir(leaves_path):
+            cond = None
+            for pz, px, py in path:
+                c = (F.col("z") == pz) & (F.col("x") == px) & (F.col("y") == py)
+                cond = c if cond is None else (cond | c)
+            probe = (
+                self.spark.read.parquet(leaves_path)
+                .filter(cond)
+                .select("z", "x", "y")
+                .distinct()
+                .toPandas()
             )
-            if len(cand.take(1)) > 0:
-                leaf = cand
+            leaf_set = {
+                (int(r.z), int(r.x), int(r.y))
+                for r in probe.itertuples(index=False)
+            }
+        leaf = None
+        for pz, px, py in path:
+            if (pz, px, py) in leaf_set:
+                leaf = self.spark.read.parquet(leaves_path).filter(
+                    (F.col("z") == pz) & (F.col("x") == px) & (F.col("y") == py)
+                )
+                az, ax, ay = pz, px, py
                 break
-            if self._tile_exists(out_dir, az, ax, ay):
+            if (pz, px, py) in tile_keys:
                 break  # memoized but feature-less ancestor -> EMPTY
         if leaf is None:
             return self.read_tile(out_dir, z, x, y)  # empty result
@@ -500,7 +551,9 @@ class CheckpointedPyramid:
         fin_l = os.path.join(leaves_path, f"level={drill_tag}")
         for p in (stg_t, stg_l, fin_t, fin_l):
             shutil.rmtree(p, ignore_errors=True)
-        self._drill_levels(out_dir, leaf, (az, ax, ay), (z, x, y), stg_t, stg_l)
+        self._drill_levels(
+            out_dir, leaf, (az, ax, ay), (z, x, y), stg_t, stg_l, tile_keys
+        )
         # staged + renamed like run()'s level commits; leaves publish FIRST
         # so the tiles rename is the commit point (a crash in between only
         # leaves an orphan leaves dir the entry sweep removes)
@@ -510,19 +563,21 @@ class CheckpointedPyramid:
         if os.path.isdir(stg_t):
             os.makedirs(os.path.join(out_dir, "tiles"), exist_ok=True)
             os.rename(stg_t, fin_t)
+        self._keys.pop(out_dir, None)  # new tiles published
         return self.read_tile(out_dir, z, x, y)
 
     def _drill_levels(
         self, out_dir: str, frontier: DataFrame, root: tuple, target: tuple,
-        stg_tiles: str, stg_leaves: str,
+        stg_tiles: str, stg_leaves: str, existing: set,
     ) -> None:
         """Target-directed pyramid levels from the ancestor's retained
         leaves: non-path tiles stop and retain (lib.rs:324-338), the path
         tile splits until it fuses or reaches the target.  One fused
         render+split pass per level; every write is executor-side.  Tiles
         already in the store (the re-split ancestor; cousins from prior
-        drills) are excluded via a broadcast anti-join on the index-sized
-        existing-key set."""
+        drills) are excluded via a broadcast anti-join on ``existing`` —
+        the caller's index-sized tile-key set (one stats-row scan,
+        _tile_keys)."""
         from pyspark.sql import Window
 
         from geojson_vt_rs_spark.operators.pipeline import (
@@ -546,11 +601,6 @@ class CheckpointedPyramid:
         cz, cx, cy = target
         kernel = _level_kernel(o, cz, cx, cy, force_subtree=True)
         fuse_max = fuse_bound(o, cz)
-        existing = {
-            (int(r.z), int(r.x), int(r.y))
-            for r in spark.read.parquet(os.path.join(out_dir, "tiles"))
-            .select("z", "x", "y").distinct().collect()
-        }
         exist_df = F.broadcast(
             spark.createDataFrame(
                 [(a, b, c) for a, b, c in existing] or [(-1, -1, -1)],

@@ -387,6 +387,7 @@ class SparkGeoJSONVT:
            only bounded 'fuse' groups use applyInPandas.
         """
         from geojson_vt_rs_spark.operators.pipeline import (
+            RS_CAGG,
             RS_CHILD,
             RS_RENDER,
             render_split_stage,
@@ -404,18 +405,32 @@ class SparkGeoJSONVT:
         first = True
         pending_children: list = []  # expected child keys of split parents
         prev = None
+        # next level's per-tile num_points, pre-assembled from the render
+        # pass's RS_CAGG map-side partials — only the FIRST level pays a
+        # separate Spark agg job; afterwards each level is ONE job wave
+        next_np: Optional[pd.DataFrame] = None
         while True:
             _t0 = _time.time()
             frontier = frontier.persist()
-            np_pdf = (
-                frontier.groupBy("z", "x", "y")
-                .agg(F.sum("num_points").alias("tnp"))
-                .toPandas()
-            )
+            if next_np is not None:
+                np_pdf = next_np
+                next_np = None
+            else:
+                np_pdf = (
+                    frontier.groupBy("z", "x", "y")
+                    .agg(F.sum("num_points").alias("tnp"))
+                    .toPandas()
+                )
+                if prev is not None:
+                    # the agg materialized the persisted frontier, so the
+                    # previous level's checkpoint can go
+                    prev.unpersist()
+                    prev = None
             _t_agg = _time.time()
-            if prev is not None:
-                prev.unpersist()
             if np_pdf.empty:
+                if prev is not None:
+                    prev.unpersist()
+                    prev = None
                 if first:
                     # split_tile(empty, root) still creates the root tile
                     # (lib.rs:265-295: insert precedes the early return)
@@ -464,12 +479,17 @@ class SparkGeoJSONVT:
             # from fr) -> run them as concurrent jobs so the level pays
             # one job latency, not three (fr is a narrow broadcast join
             # over the already-materialized persisted frontier, so a
-            # concurrent first touch duplicates only map-side work)
+            # concurrent first touch duplicates only map-side work).
+            # RS_CAGG partials ride along in the SAME collection: the next
+            # level's decision agg finishes driver-side (no extra job).
             def _collect_rend():
-                return step2.filter(F.col("row_kind") == RS_RENDER).select(
+                return step2.filter(
+                    F.col("row_kind").isin(RS_RENDER, RS_CAGG)
+                ).select(
+                    "row_kind",
                     "z", "x", "y", "world_copy", "feature_seq", "slice_path",
                     "sub_idx", "type", "kind", "geometry_json", "tags_json",
-                    "id_str", "id_num", "id_float", "n_emitted",
+                    "id_str", "id_num", "id_float", "n_emitted", "num_points",
                 ).toPandas()
 
             def _collect_fuse():
@@ -497,11 +517,28 @@ class SparkGeoJSONVT:
                 rend_f = _ex.submit(_collect_rend)
                 fuse_f = _ex.submit(_collect_fuse) if has_fuse else None
                 leaf_f = _ex.submit(_collect_leaf) if has_leaf else None
-                rend = rend_f.result()
+                merged = rend_f.result()
                 meta = fuse_f.result() if fuse_f is not None else None
                 leaf_rows = leaf_f.result() if leaf_f is not None else None
             _t_rend = _time.time()
+            if prev is not None:
+                # the collections materialized this level's outputs; the
+                # previous checkpoint is no longer referenced
+                prev.unpersist()
+                prev = None
             frontier.unpersist()
+            is_cagg = merged["row_kind"].to_numpy() == RS_CAGG
+            if is_cagg.any():
+                next_np = (
+                    merged.loc[is_cagg]
+                    .groupby(["z", "x", "y"], as_index=False)["num_points"]
+                    .sum()
+                    .rename(columns={"num_points": "tnp"})
+                )
+                rend = merged.loc[~is_cagg]
+            else:
+                next_np = None
+                rend = merged
             rend_groups = (
                 dict(list(rend.groupby(["z", "x", "y"], sort=False)))
                 if not rend.empty
@@ -563,6 +600,10 @@ class SparkGeoJSONVT:
             if not split_parents:
                 step2.unpersist()
                 return
+            if next_np is None:
+                # split parents whose children all clipped empty: next
+                # turn sees an empty decision table without another job
+                next_np = pd.DataFrame(columns=["z", "x", "y", "tnp"])
             pending_children = [
                 (z + 1, 2 * x + dx, 2 * y + dy)
                 for z, x, y in split_parents

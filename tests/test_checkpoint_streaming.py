@@ -384,6 +384,25 @@ def test_streaming_watermarked_windows_drop_late(spark, tmp_path):
     # [4,5) and [5,6) still open (watermark stays 4h; 4.5 is buffered)
     assert 4 not in got2 and 5 not in got2
 
+    # run 3 — the EXACT allowed-lateness boundary: with watermark=4h, a
+    # row at 3.5 falls in [3,4) whose end EQUALS the watermark -> the
+    # window is already finalized, the row is dropped (window.end <=
+    # watermark is the eviction predicate).  6.5 advances the watermark
+    # to 5.5, which closes [4,5) and emits the buffered 4.5 row; [5,6)
+    # (end 6 > 5.5) stays open.
+    spark.createDataFrame(rows(3.5, 6.5), EVENT_SCHEMA).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    stream_windowed_event_counts(spark, src, out, ckpt)
+    got3 = {
+        r["win_start"].hour: r["n"]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert 3 not in got3  # boundary row dropped: end == watermark
+    assert got3.get(4) == 1  # straggler emitted once the window closed
+    assert 5 not in got3 and 6 not in got3  # still open
+    assert got3.get(0) == 1 and got3.get(1) == 1  # history untouched
+
 
 def test_drilldown_crash_window_retry(spark, tmp_path):
     """get_tile drill-down commit protocol: simulate a crash AFTER the
