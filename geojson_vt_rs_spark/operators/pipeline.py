@@ -536,9 +536,12 @@ def render_split_stage(df: DataFrame, options: Options) -> DataFrame:
                     parts.append(sub)
                     g = sub.groupby(["z", "x", "y"], sort=False)[
                         "num_points"
-                    ].sum()
-                    for k, v in g.items():
-                        cagg[k] = cagg.get(k, 0) + int(v)
+                    ].agg(["sum", "size"])
+                    for k, pts, cnt in zip(
+                        g.index, g["sum"].tolist(), g["size"].tolist()
+                    ):
+                        old = cagg.get(k, (0, 0))
+                        cagg[k] = (old[0] + int(pts), old[1] + int(cnt))
 
             # vectorized render of the single-coordinate Point rows
             if is_pt.any():
@@ -660,8 +663,10 @@ def render_split_stage(df: DataFrame, options: Options) -> DataFrame:
                                     row["y"] = yi * 2 + dy
                                     out.append(row)
                                     ck = (zi + 1, xi * 2 + dx, yi * 2 + dy)
+                                    old = cagg.get(ck, (0, 0))
                                     cagg[ck] = (
-                                        cagg.get(ck, 0) + qf.num_points
+                                        old[0] + qf.num_points,
+                                        old[1] + 1,
                                     )
             if out:
                 parts.append(pd.DataFrame(out, columns=RS_COLS))
@@ -673,7 +678,10 @@ def render_split_stage(df: DataFrame, options: Options) -> DataFrame:
                     z=[k[0] for k in keys],
                     x=[k[1] for k in keys],
                     y=[k[2] for k in keys],
-                    num_points=[int(v) for v in cagg.values()],
+                    num_points=[int(v[0]) for v in cagg.values()],
+                    # n_emitted doubles as the partial child ROW count so
+                    # the driver can finish n_children without a job
+                    n_emitted=[int(v[1]) for v in cagg.values()],
                 )
                 parts.append(pd.DataFrame(d, columns=RS_COLS))
             # yield each part as its own Arrow batch: pd.concat of mixed

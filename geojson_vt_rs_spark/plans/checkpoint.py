@@ -25,6 +25,7 @@ import shutil
 import time
 from typing import Optional
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -211,7 +212,10 @@ class CheckpointedPyramid:
 
         from pyspark.sql import Window
 
+        from concurrent.futures import ThreadPoolExecutor
+
         from geojson_vt_rs_spark.operators.pipeline import (
+            RS_CAGG,
             RS_CHILD,
             RS_RENDER,
             render_split_stage,
@@ -245,15 +249,23 @@ class CheckpointedPyramid:
                 return "leaf"
             return "fuse" if tnp <= fuse_max else "split"
 
+        # next level's per-tile num_points from the render pass's RS_CAGG
+        # map-side partials (see plans/pyramid.py) — only the first level
+        # (and a resume entry) pays a separate Spark agg job
+        next_np = None
         while True:
             t0 = time.time()
             stg_tiles, stg_leaves, fin_tiles, fin_leaves = _level_dirs(level)
             frontier = frontier.persist()
-            np_pdf = (
-                frontier.groupBy("z", "x", "y")
-                .agg(F.sum("num_points").alias("tnp"))
-                .toPandas()
-            )
+            if next_np is not None:
+                np_pdf = next_np
+                next_np = None
+            else:
+                np_pdf = (
+                    frontier.groupBy("z", "x", "y")
+                    .agg(F.sum("num_points").alias("tnp"))
+                    .toPandas()
+                )
             observed = {(int(r.z), int(r.x), int(r.y)) for r in np_pdf.itertuples()}
             decisions = [
                 (int(r.z), int(r.x), int(r.y), _decide(int(r.z), int(r.x), int(r.y), int(r.tnp)), int(r.tnp))
@@ -306,6 +318,11 @@ class CheckpointedPyramid:
                 fr.filter(F.col("action") != "fuse"), o
             ).persist()
             rend = step2.filter(F.col("row_kind") == RS_RENDER)
+            split_parents = [
+                (z, x, y) for z, x, y, a, _ in decisions if a == "split"
+            ]
+            # wave 1 — the heavy write; materializes fr and step2 so the
+            # follow-up collections scan cached data
             rend.filter(F.col("sub_idx") >= 0).withColumn(
                 "feature_idx", F.row_number().over(w) - 1
             ).select(
@@ -318,15 +335,56 @@ class CheckpointedPyramid:
                 F.lit(None).cast("int").alias("tile_num_simplified"),
                 F.lit("feature").alias("action"),
             ).write.mode("append").partitionBy("z").parquet(stg_tiles)
-            agg = (
-                rend.groupBy("z", "x", "y")
-                .agg(
-                    F.sum("n_emitted").alias("ns"),
-                    F.sum((F.col("sub_idx") >= 0).cast("long")).alias("nf"),
+
+            # wave 2 — independent actions over the cached step2 run as
+            # concurrent jobs: per-tile render counters, the next level's
+            # decision partials, and the children frontier write (its own
+            # directory, so no committer interference with stg_tiles)
+            def _collect_ns():
+                return (
+                    rend.groupBy("z", "x", "y")
+                    .agg(
+                        F.sum("n_emitted").alias("ns"),
+                        F.sum((F.col("sub_idx") >= 0).cast("long")).alias("nf"),
+                    )
+                    .toPandas()
                 )
-                .toPandas()
-            )
+
+            def _collect_cagg():
+                return (
+                    step2.filter(F.col("row_kind") == RS_CAGG)
+                    .select("z", "x", "y", "num_points", "n_emitted")
+                    .toPandas()
+                )
+
+            def _write_children():
+                step2.filter(F.col("row_kind") == RS_CHILD).select(
+                    *TILED_COLS
+                ).write.mode("overwrite").parquet(
+                    os.path.join(out_dir, "frontier", f"level_{level + 1}")
+                )
+
+            with ThreadPoolExecutor(3) as _ex:
+                ns_f = _ex.submit(_collect_ns)
+                cagg_f = _ex.submit(_collect_cagg) if split_parents else None
+                ch_f = _ex.submit(_write_children) if split_parents else None
+                agg = ns_f.result()
+                cagg = cagg_f.result() if cagg_f is not None else None
+                if ch_f is not None:
+                    ch_f.result()
             frontier.unpersist()
+            n_children = 0
+            if cagg is not None and not cagg.empty:
+                # finish the map-side partials driver-side: decision table
+                # for the next level + the exact written child row count
+                n_children = int(cagg["n_emitted"].sum())
+                next_np = (
+                    cagg.groupby(["z", "x", "y"], as_index=False)["num_points"]
+                    .sum()
+                    .rename(columns={"num_points": "tnp"})
+                )
+            elif split_parents:
+                next_np = pd.DataFrame(columns=["z", "x", "y", "tnp"])
             ns_map = {
                 (int(r.z), int(r.x), int(r.y)): (int(r.ns), int(r.nf))
                 for r in agg.itertuples(index=False)
@@ -379,22 +437,6 @@ class CheckpointedPyramid:
                 leaf_df.write.mode("append").partitionBy("z").parquet(stg_leaves)
                 n_leaf = int(leaf_df.count())
 
-            split_parents = [
-                (z, x, y) for z, x, y, a, _ in decisions if a == "split"
-            ]
-            n_children = 0
-            if split_parents:
-                children = step2.filter(F.col("row_kind") == RS_CHILD).select(
-                    *TILED_COLS
-                )
-                children.write.mode("overwrite").parquet(
-                    os.path.join(out_dir, "frontier", f"level_{level + 1}")
-                )
-                n_children = (
-                    spark.read.parquet(
-                        os.path.join(out_dir, "frontier", f"level_{level + 1}")
-                    ).count()
-                )
             step2.unpersist()
             pending_children = [
                 (z + 1, 2 * x + dx, 2 * y + dy)
@@ -581,6 +623,7 @@ class CheckpointedPyramid:
         from pyspark.sql import Window
 
         from geojson_vt_rs_spark.operators.pipeline import (
+            RS_CAGG,
             RS_CHILD,
             RS_RENDER,
             render_split_stage,
@@ -629,15 +672,21 @@ class CheckpointedPyramid:
         )
         pending_children: list = []
         prev = None
+        next_np = None  # RS_CAGG partials from the previous level's pass
         while True:
             frontier = frontier.persist()
-            np_pdf = (
-                frontier.groupBy("z", "x", "y")
-                .agg(F.sum("num_points").alias("tnp"))
-                .toPandas()
-            )
-            if prev is not None:
-                prev.unpersist()
+            if next_np is not None:
+                np_pdf = next_np
+                next_np = None
+            else:
+                np_pdf = (
+                    frontier.groupBy("z", "x", "y")
+                    .agg(F.sum("num_points").alias("tnp"))
+                    .toPandas()
+                )
+                if prev is not None:
+                    prev.unpersist()
+                    prev = None
             observed = {
                 (int(r.z), int(r.x), int(r.y)) for r in np_pdf.itertuples()
             }
@@ -652,6 +701,9 @@ class CheckpointedPyramid:
                     spark.createDataFrame(empty_rows, tiles_schema).write.mode(
                         "append"
                     ).partitionBy("z").parquet(stg_tiles)
+                if prev is not None:
+                    prev.unpersist()
+                    prev = None
                 frontier.unpersist()
                 return
             decisions = [
@@ -684,12 +736,45 @@ class CheckpointedPyramid:
             ).join(exist_df, ["z", "x", "y"], "left_anti").write.mode(
                 "append"
             ).partitionBy("z").parquet(stg_tiles)
-            agg = (
-                rend.groupBy("z", "x", "y")
-                .agg(F.sum("n_emitted").alias("ns"))
-                .toPandas()
-            )
+
+            # the rend write materialized step2; run the per-tile render
+            # counters and the next level's RS_CAGG partials as concurrent
+            # cached scans (same one-wave shape as run())
+            split_parents = [
+                (tz, tx, ty) for tz, tx, ty, a, _ in decisions if a == "split"
+            ]
+
+            def _collect_ns():
+                return (
+                    rend.groupBy("z", "x", "y")
+                    .agg(F.sum("n_emitted").alias("ns"))
+                    .toPandas()
+                )
+
+            def _collect_cagg():
+                return (
+                    step2.filter(F.col("row_kind") == RS_CAGG)
+                    .select("z", "x", "y", "num_points")
+                    .toPandas()
+                )
+
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(2) as _ex:
+                ns_f = _ex.submit(_collect_ns)
+                cagg_f = _ex.submit(_collect_cagg) if split_parents else None
+                agg = ns_f.result()
+                cagg = cagg_f.result() if cagg_f is not None else None
+            if prev is not None:
+                prev.unpersist()
+                prev = None
             frontier.unpersist()
+            if cagg is not None:
+                next_np = (
+                    cagg.groupby(["z", "x", "y"], as_index=False)["num_points"]
+                    .sum()
+                    .rename(columns={"num_points": "tnp"})
+                )
             ns_map = {
                 (int(r.z), int(r.x), int(r.y)): int(r.ns)
                 for r in agg.itertuples(index=False)
@@ -733,9 +818,6 @@ class CheckpointedPyramid:
                     "z"
                 ).parquet(stg_leaves)
 
-            split_parents = [
-                (tz, tx, ty) for tz, tx, ty, a, _ in decisions if a == "split"
-            ]
             fr.unpersist()
             if not split_parents:
                 step2.unpersist()
