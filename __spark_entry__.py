@@ -417,6 +417,30 @@ def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_pairs(docs, hamming_max=3)
 
 
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style winnowing fingerprints (rolling K-token-gram polynomial
+    hashes, min per sliding window of W grams — Schleimer et al. SIGMOD'03):
+    one (doc_id, fp) row per distinct selected fingerprint.  Pure JVM SQL
+    (slice/zip_with chains); DuckDB twin is the literal same integer math."""
+    from geojson_vt_rs_spark.operators.text_dedup import (
+        winnow_fingerprint_rows,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return winnow_fingerprint_rows(docs)
+
+
+def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs sharing >= 1 winnowed fingerprint (with
+    the shared count) — the rolling-hash member of the dedup family.  A
+    plain fp equi-join: complete blocking (any common run of W + K - 1
+    tokens is guaranteed to share a fingerprint), no cross product."""
+    from geojson_vt_rs_spark.operators.text_dedup import winnow_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return winnow_pairs(docs)
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard for the LSH candidate pairs (verify stage of
     the near-dup pipeline)."""
@@ -915,6 +939,8 @@ def _raw_queries() -> dict:
         "minhash_pairs": q_minhash_pairs,
         "simhash": q_simhash,
         "simhash_near_pairs": q_simhash_near_pairs,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "winnow_pairs": q_winnow_pairs,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_topk": q_ann_topk,
         "lang_id": q_lang_id,
@@ -937,6 +963,8 @@ def oracle_sql() -> dict[str, str]:
     from geojson_vt_rs_spark.operators.text_dedup import (
         duck_minhash_pairs_sql,
         duck_ngram_jaccard_sql,
+        duck_winnow_pairs_sql,
+        duck_winnow_sql,
     )
 
     return {
@@ -952,6 +980,8 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs": duck_minhash_pairs_sql(),
         "simhash": _sql_simhash(),
         "simhash_near_pairs": _sql_simhash_near_pairs(),
+        "winnow_fingerprints": duck_winnow_sql(),
+        "winnow_pairs": duck_winnow_pairs_sql(),
         "ngram_jaccard": duck_ngram_jaccard_sql(),
         "ann_topk": _sql_ann_topk(20),
         "lang_id": _sql_lang_id(),

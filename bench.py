@@ -255,7 +255,8 @@ def main():
 
     extra = {}
     for name in ("ann_lsh_topk", "ann_ivf_topk", "cosine_near_dup",
-                 "simhash_near_pairs", "phash_near_dups", "frame_sample"):
+                 "simhash_near_pairs", "phash_near_dups", "frame_sample",
+                 "winnow_pairs"):
         t0 = time.time()
         em.queries()[name](spark, SF_DIR).count()
         extra[name] = round(time.time() - t0, 3)

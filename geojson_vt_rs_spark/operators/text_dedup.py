@@ -426,3 +426,179 @@ def duck_text_features_exprs() -> dict:
         n_punct=r"length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))",
         n_chars="length(text)",
     )
+
+
+# ------------------------------------------------ Winnowing fingerprints
+# MOSS-style document fingerprinting (Schleimer/Wilkerson/Aiken,
+# "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD'03):
+# K-token-gram rolling polynomial hashes, then the minimum of each
+# sliding window of W gram hashes.  Any shared token run of length
+# >= W + K - 1 is GUARANTEED to share a fingerprint, so the fingerprint
+# equi-join is a complete near-dup blocking — the rolling-hash member of
+# the dedup family (exact md5 / minhash / simhash / winnowing).
+# Everything is JVM SQL expressions with a byte-identical DuckDB twin.
+
+WINNOW_K = 4  # tokens per gram (templates below hard-code 4 terms)
+WINNOW_W = 4  # grams per winnowing window
+WINNOW_B = 1009  # polynomial base: 2^32 * B^(K-1) < 2^63 -> no overflow
+WINNOW_M = 2147483647  # modulus 2^31 - 1; every term is nonnegative
+
+
+def with_winnow_fingerprints(docs: DataFrame) -> DataFrame:
+    """Adds ``fingerprints`` (sorted distinct array<bigint>).
+
+    Grams and window minima are built from whole-array ``slice`` +
+    ``zip_with`` chains, NEVER ``element_at(col, i)`` inside a
+    per-element lambda: after projection collapse Catalyst substitutes
+    the backing array's full expression into each element access, so an
+    indexed formulation re-runs the token-hash transform once per
+    element — measured O(n^2) md5 per document (render hung).  The
+    chained form bounds re-evaluation at a small constant regardless of
+    how the optimizer collapses projections, and the step-wise ``% M``
+    equals the flat polynomial mod M exactly (integer identity).  All
+    slices are CASE-guarded in bounds, so the plan is ANSI-mode safe."""
+    B, M = WINNOW_B, WINNOW_M
+    B2 = B * B
+    toks = "filter(split(trim(text), '\\\\s+'), w -> length(w) > 0)"
+    th = (
+        f"transform({toks}, "
+        "w -> cast(conv(substr(md5(w), 1, 8), 16, 10) as bigint))"
+    )
+    d = docs.withColumn("__th", F.expr(th)).withColumn(
+        "__n", F.expr("size(__th)")
+    )
+    # materialization boundary: the exchange pins __th (the only md5
+    # work) as a REAL column, so every downstream reference is an
+    # attribute read instead of a re-inlined hash transform when
+    # projections collapse.  Also spreads a single-file toy input across
+    # all cores; the dedup join shuffles anyway, so this adds one
+    # bounded exchange of the (smaller-than-text) hash arrays.
+    d = d.repartition(F.col("doc_id"))
+    roll = f"(a, b) -> (a * {B}L + b) % {M}L"
+    lmin = "(a, b) -> least(a, b)"
+    # gram chain nested SINGLE-REFERENCE (p2 appears once inside p3,
+    # p3 once inside gr): projection collapse then duplicates nothing
+    # exponentially.  The earlier multi-withColumn version collapsed to
+    # a 180 KB plan (4 textual copies of the whole chain) whose
+    # analysis+codegen dominated runtime; this one stays ~3 KB.
+    p2 = f"zip_with(slice(__th, 1, __n - 1), slice(__th, 2, __n - 1), {roll})"
+    p3 = f"zip_with(slice({p2}, 1, __n - 2), slice(__th, 3, __n - 2), {roll})"
+    gr = f"zip_with(slice({p3}, 1, __n - 3), slice(__th, 4, __n - 3), {roll})"
+    # min over each window of 4 grams = pairwise mins, then mins of the
+    # pair-mins 2 apart: fps(i) = min(w2(i), w2(i+2)), w2(i) = min(g_i, g_i+1);
+    # g = __n - 3 grams.  w2/gr each appear TWICE (two shifted slices of
+    # the same array) — 4 bounded copies of the cheap integer chain, the
+    # md5 transform stays behind the exchange.
+    w2 = (
+        f"zip_with(slice(__gr, 1, __n - 4), slice(__gr, 2, __n - 4), {lmin})"
+    )
+    fps = (
+        f"zip_with(slice(__w2, 1, __n - 6), slice(__w2, 3, __n - 6), {lmin})"
+    ).replace("__w2", w2).replace("__gr", gr)
+    small = (
+        "CASE "
+        f"WHEN __n = 3 THEN (element_at(__th, 1) * {B2}L"
+        f" + element_at(__th, 2) * {B}L + element_at(__th, 3)) % {M}L "
+        f"WHEN __n = 2 THEN (element_at(__th, 1) * {B}L"
+        f" + element_at(__th, 2)) % {M}L "
+        f"WHEN __n = 1 THEN element_at(__th, 1) % {M}L "
+        "ELSE 0L END"
+    )
+    fingerprints = (
+        # n >= 7: at least one full window of 4 grams; 4 <= n < 7: a
+        # single window over all (< 4) grams; n < 4: small-n polynomial.
+        # CASE keeps every slice length positive in its taken branch.
+        f"CASE WHEN __n >= 7 THEN {fps} "
+        f"WHEN __n >= 4 THEN array(array_min({gr})) "
+        f"ELSE array({small}) END"
+    )
+    return d.withColumn(
+        "fingerprints",
+        F.expr(f"array_sort(array_distinct({fingerprints}))"),
+    ).drop("__th", "__n")
+
+
+def winnow_fingerprint_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, fp) rows — each doc's distinct winnowed fingerprints."""
+    return with_winnow_fingerprints(docs).select(
+        "doc_id", F.explode("fingerprints").alias("fp")
+    )
+
+
+_WINNOW_CACHE: dict = {}  # semantic plan key -> persisted fp table (max 1)
+
+
+def winnow_pairs(docs: DataFrame) -> DataFrame:
+    """Candidate near-dup pairs sharing >= 1 winnowed fingerprint, with
+    the shared-fingerprint count.  A plain equi-join on fp: shuffled hash
+    join, no cross product — scale-safe blocking with the winnowing
+    guarantee (any common run of WINNOW_W + WINNOW_K - 1 tokens hits).
+    The fingerprint table is computed ONCE and persisted (plan-keyed
+    cache, same pattern as the minhash band table) so the two join sides
+    share it."""
+    key = _plan_key(docs)
+    fpt = _WINNOW_CACHE.get(key) if key is not None else None
+    if fpt is None:
+        fpt = winnow_fingerprint_rows(docs).persist()
+        if key is not None:
+            for k in [k for k in _WINNOW_CACHE if k != key]:
+                _WINNOW_CACHE.pop(k).unpersist()
+            _WINNOW_CACHE[key] = fpt
+    a = fpt.alias("a")
+    b = fpt.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+def duck_winnow_sql(table: str = "documents") -> str:
+    """DuckDB twin of winnow_fingerprint_rows — same integer polynomial,
+    same guards, 1-based list indexing on both sides."""
+    B, M = WINNOW_B, WINNOW_M
+    B2, B3 = B * B, B * B * B
+    toks = (
+        "list_filter(regexp_split_to_array(trim(text), '\\s+'), "
+        "w -> length(w) > 0)"
+    )
+    th = f"list_transform({toks}, w -> ('0x' || substr(md5(w), 1, 8))::BIGINT)"
+    gram4 = (
+        f"(th[i] * {B3} + th[i + 1] * {B2} + th[i + 2] * {B} + th[i + 3])"
+        f" % {M}"
+    )
+    grams = (
+        f"CASE WHEN n >= 4 THEN list_transform(range(1, n - 2), i -> {gram4}) "
+        f"ELSE [CASE WHEN n = 3 THEN (th[1] * {B2} + th[2] * {B} + th[3]) % {M} "
+        f"WHEN n = 2 THEN (th[1] * {B} + th[2]) % {M} "
+        f"WHEN n = 1 THEN th[1] % {M} ELSE 0 END] END"
+    )
+    win = "least(gr[i], gr[i + 1], gr[i + 2], gr[i + 3])"
+    fps = (
+        f"CASE WHEN g >= 4 THEN list_transform(range(1, g - 2), i -> {win}) "
+        "ELSE [list_min(gr)] END"
+    )
+    return (
+        f"WITH w1 AS (SELECT doc_id, {th} AS th FROM {table}), "
+        "w2 AS (SELECT doc_id, th, len(th) AS n FROM w1), "
+        f"w3 AS (SELECT doc_id, {grams} AS gr FROM w2), "
+        "w4 AS (SELECT doc_id, gr, len(gr) AS g FROM w3) "
+        f"SELECT doc_id, unnest(list_sort(list_distinct({fps}))) AS fp FROM w4"
+    )
+
+
+def duck_winnow_pairs_sql(table: str = "documents") -> str:
+    return (
+        f"WITH fps AS ({duck_winnow_sql(table)}) "
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "CAST(count(*) AS BIGINT) AS n_shared "
+        "FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id "
+        "GROUP BY 1, 2"
+    )

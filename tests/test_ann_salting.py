@@ -157,3 +157,39 @@ def test_simhash_band_blocking_complete(spark):
         if bin(sims[a] ^ sims[b]).count("1") <= 3
     }
     assert got == want
+
+
+def test_winnow_guarantee_and_edges(spark):
+    """The winnowing guarantee (Schleimer et al. SIGMOD'03): two docs
+    sharing a run of >= W + K - 1 tokens MUST share a fingerprint; docs
+    with fewer than K tokens still fingerprint (small-n polynomial)."""
+    from geojson_vt_rs_spark.operators.text_dedup import (
+        WINNOW_K,
+        WINNOW_W,
+        winnow_fingerprint_rows,
+        winnow_pairs,
+    )
+
+    run = " ".join(f"tok{i}" for i in range(WINNOW_W + WINNOW_K - 1))
+    docs = spark.createDataFrame(
+        [
+            (0, f"alpha beta {run} gamma"),
+            (1, f"delta {run} epsilon zeta"),
+            (2, "completely unrelated words here with no overlap at all"),
+            (3, "one two three"),  # n = 3 < K
+            (4, "solo"),  # n = 1
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprint_rows(docs).toPandas()
+    by_doc = {d: set(g["fp"]) for d, g in fps.groupby("doc_id")}
+    # guarantee: docs 0 and 1 share the run -> must share >= 1 fingerprint
+    assert by_doc[0] & by_doc[1]
+    # unrelated doc shares nothing with either
+    assert not (by_doc[2] & by_doc[0]) and not (by_doc[2] & by_doc[1])
+    # small docs still produce exactly one fingerprint
+    assert len(by_doc[3]) == 1 and len(by_doc[4]) == 1
+    pairs = winnow_pairs(docs).toPandas()
+    got = {(r.doc_a, r.doc_b) for r in pairs.itertuples(index=False)}
+    assert (0, 1) in got
+    assert all(p[0] < p[1] for p in got)
