@@ -519,9 +519,20 @@ def with_winnow_fingerprints(docs: DataFrame) -> DataFrame:
 
 
 def winnow_fingerprint_rows(docs: DataFrame) -> DataFrame:
-    """(doc_id, fp) rows — each doc's distinct winnowed fingerprints."""
-    return with_winnow_fingerprints(docs).select(
-        "doc_id", F.explode("fingerprints").alias("fp")
+    """(doc_id, fp) rows — each doc's distinct winnowed fingerprints.
+
+    explode_outer, NOT explode: a plain explode makes Catalyst infer a
+    ``size(fingerprints) > 0`` filter and push it below the exchange,
+    re-evaluating the ENTIRE fingerprint chain (md5 included) as a
+    scan-side row filter — measured 4s -> 16s.  Fingerprint arrays are
+    never empty (every branch yields >= 1 element), so the outer
+    variant is row-identical; the null guard keeps the contract exact
+    for null-text rows and cannot be pushed below the Generate (it
+    references the generated column)."""
+    return (
+        with_winnow_fingerprints(docs)
+        .select("doc_id", F.explode_outer("fingerprints").alias("fp"))
+        .filter(F.col("fp").isNotNull())
     )
 
 
