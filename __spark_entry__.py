@@ -441,6 +441,27 @@ def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_pairs(docs)
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster resolution: connected components over the
+    confident minhash candidate edges (est_sim >= 0.5) via iterative
+    min-label propagation — (doc_id, cluster_id) for every document.
+    ITERATIVE, yet fully oracle-checked: the DuckDB twin is a recursive
+    CTE computing the same components' min reachable id."""
+    from geojson_vt_rs_spark.operators.components import dedup_clusters
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup_clusters(docs)
+
+
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's kept set: one row per near-dup cluster with
+    its size; canonical doc = the one whose doc_id == cluster_id."""
+    from geojson_vt_rs_spark.operators.components import dedup_canonical
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup_canonical(docs)
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard for the LSH candidate pairs (verify stage of
     the near-dup pipeline)."""
@@ -865,6 +886,22 @@ def _sql_quality() -> str:
     )
 
 
+def _sql_dedup_clusters() -> str:
+    from geojson_vt_rs_spark.operators.components import (
+        duck_dedup_clusters_sql,
+    )
+
+    return duck_dedup_clusters_sql()
+
+
+def _sql_dedup_canonical() -> str:
+    from geojson_vt_rs_spark.operators.components import (
+        duck_dedup_canonical_sql,
+    )
+
+    return duck_dedup_canonical_sql()
+
+
 def _sql_simhash() -> str:
     from geojson_vt_rs_spark.operators.text_dedup import duck_simhash_sql
 
@@ -941,6 +978,8 @@ def _raw_queries() -> dict:
         "simhash_near_pairs": q_simhash_near_pairs,
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_pairs": q_winnow_pairs,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_canonical": q_dedup_canonical,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_topk": q_ann_topk,
         "lang_id": q_lang_id,
@@ -982,6 +1021,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_pairs": _sql_simhash_near_pairs(),
         "winnow_fingerprints": duck_winnow_sql(),
         "winnow_pairs": duck_winnow_pairs_sql(),
+        "dedup_clusters": _sql_dedup_clusters(),
+        "dedup_canonical": _sql_dedup_canonical(),
         "ngram_jaccard": duck_ngram_jaccard_sql(),
         "ann_topk": _sql_ann_topk(20),
         "lang_id": _sql_lang_id(),

@@ -193,3 +193,24 @@ def test_winnow_guarantee_and_edges(spark):
     got = {(r.doc_a, r.doc_b) for r in pairs.itertuples(index=False)}
     assert (0, 1) in got
     assert all(p[0] < p[1] for p in got)
+
+
+def test_dedup_clusters_crafted_graph(spark):
+    """Min-label propagation on a crafted graph: a 3-chain, a pair, and
+    an isolated node resolve to the expected components; canonical set
+    has one row per cluster with correct sizes."""
+    from geojson_vt_rs_spark.operators.components import (
+        dedup_canonical,
+        dedup_clusters,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (4, 5)], "doc_a long, doc_b long"
+    )
+    got = {r.doc_id: r.cluster_id for r in dedup_clusters(docs, edges).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 4}
+    sizes = {
+        r.cluster_id: r.n_docs for r in dedup_canonical(docs, edges).collect()
+    }
+    assert sizes == {0: 3, 3: 1, 4: 2}
