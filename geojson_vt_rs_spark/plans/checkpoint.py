@@ -253,6 +253,11 @@ class CheckpointedPyramid:
         # map-side partials (see plans/pyramid.py) — only the first level
         # (and a resume entry) pays a separate Spark agg job
         next_np = None
+        # previous level's checkpointed pass: the next frontier reads its
+        # cached RS_CHILD rows directly — the frontier parquet is written
+        # for DURABILITY (resume re-reads it) but not re-read in the hot
+        # loop (a full decode of every row per level otherwise)
+        prev_step2 = None
         while True:
             t0 = time.time()
             stg_tiles, stg_leaves, fin_tiles, fin_leaves = _level_dirs(level)
@@ -285,6 +290,9 @@ class CheckpointedPyramid:
                 if (z, x, y) not in observed
             ]
             if np_pdf.empty:
+                if prev_step2 is not None:
+                    prev_step2.unpersist()
+                    prev_step2 = None
                 if empty_rows:
                     spark.createDataFrame(empty_rows, tiles_schema).write.mode(
                         "append"
@@ -316,7 +324,7 @@ class CheckpointedPyramid:
             )
             step2 = render_split_stage(
                 fr.filter(F.col("action") != "fuse"), o
-            ).persist()
+            ).localCheckpoint(eager=False)  # truncate cross-level lineage
             rend = step2.filter(F.col("row_kind") == RS_RENDER)
             split_parents = [
                 (z, x, y) for z, x, y, a, _ in decisions if a == "split"
@@ -372,6 +380,11 @@ class CheckpointedPyramid:
                 cagg = cagg_f.result() if cagg_f is not None else None
                 if ch_f is not None:
                     ch_f.result()
+            if prev_step2 is not None:
+                # this level's outputs are materialized; the previous
+                # checkpointed pass is no longer referenced
+                prev_step2.unpersist()
+                prev_step2 = None
             frontier.unpersist()
             n_children = 0
             if cagg is not None and not cagg.empty:
@@ -437,7 +450,6 @@ class CheckpointedPyramid:
                 leaf_df.write.mode("append").partitionBy("z").parquet(stg_leaves)
                 n_leaf = int(leaf_df.count())
 
-            step2.unpersist()
             pending_children = [
                 (z + 1, 2 * x + dx, 2 * y + dy)
                 for z, x, y in split_parents
@@ -463,14 +475,19 @@ class CheckpointedPyramid:
             )
             fr.unpersist()
             if not n_children and not pending_children:
+                step2.unpersist()
                 return self.summary(out_dir)
             if not n_children:
                 # all children empty: one more loop turn records them
                 frontier = spark.createDataFrame([], frontier.schema)
+                step2.unpersist()
             else:
-                frontier = spark.read.parquet(
-                    os.path.join(out_dir, "frontier", f"level_{level + 1}")
+                # continue from the cached pass; the parquet twin of these
+                # rows is already durable for resume
+                frontier = step2.filter(F.col("row_kind") == RS_CHILD).select(
+                    *TILED_COLS
                 )
+                prev_step2 = step2
             level += 1
 
     def summary(self, out_dir: str) -> dict:
