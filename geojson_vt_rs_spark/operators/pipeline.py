@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from geojson_vt_rs_spark.config import Options, TileOptions
+from geojson_vt_rs_spark.config import Options
 from geojson_vt_rs_spark.core.clip import clip_feature
 from geojson_vt_rs_spark.core.project import convert_feature
 from geojson_vt_rs_spark.core.tile import TileEmitter

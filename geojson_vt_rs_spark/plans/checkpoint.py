@@ -33,7 +33,6 @@ from geojson_vt_rs_spark.config import Options
 from geojson_vt_rs_spark.operators.pipeline import convert_stage, wrap_stage
 from geojson_vt_rs_spark.operators.schema import TILED_FEATURE_SCHEMA
 from geojson_vt_rs_spark.plans.pyramid import (
-    K_CHILD,
     K_LEAF,
     K_STATS,
     K_TILE,
