@@ -798,6 +798,23 @@ def _sql_ann_lsh_topk() -> str:
     return duck_lsh_topk_sql(dim=64, k=10, bits=6, probe_radius=2)
 
 
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (the memory-bound scale path: NSUB
+    bytes/vector codes): per-subspace argmin codes against codebooks
+    derived from the first 16 rows, ADC lookup-table scoring, exact
+    round-6 rescore of the 40 best candidates.  Pure JVM SQL with a
+    DuckDB twin that re-derives codebooks, codes, and the ADC sums."""
+    from geojson_vt_rs_spark.operators.ann import pq_codebooks, pq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = sorted(
+        (int(r["vec_id"]), [float(v) for v in r["embedding"]])
+        for r in emb.filter("vec_id < 16").collect()
+    )
+    qv = [float(v) for v in emb.filter("vec_id = 0").collect()[0]["embedding"]]
+    return pq_topk(emb, qv, pq_codebooks(rows), k=10, rescore=40)
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed ANN scale path: coarse cells from the 16 vec_id<16
     rows as centroids (normalized with sequential folds), probe the 2
@@ -813,6 +830,12 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qv = [float(v) for v in emb.filter("vec_id = 0").collect()[0]["embedding"]]
     return ivf_topk(emb, qv, cents, k=10, n_probe=2)
+
+
+def _sql_ann_pq_topk() -> str:
+    from geojson_vt_rs_spark.operators.ann import duck_pq_topk_sql
+
+    return duck_pq_topk_sql(k=10, rescore=40)
 
 
 def _sql_ann_ivf_topk() -> str:
@@ -992,6 +1015,7 @@ def _raw_queries() -> dict:
         "salted_cell_counts": q_salted_cell_counts,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_pq_topk": q_ann_pq_topk,
         "phash_near_dups": q_phash_near_dups,
         "frame_sample": q_frame_sample,
         "vt_total_us_states": q_vt_total_us_states,
@@ -1038,6 +1062,7 @@ def oracle_sql() -> dict[str, str]:
             f"FROM ({_SQL_POINTS}) GROUP BY 1"
         ),
         "ann_ivf_topk": _sql_ann_ivf_topk(),
+        "ann_pq_topk": _sql_ann_pq_topk(),
         "phash_near_dups": _sql_phash_near_dups(),
         "frame_sample": _sql_frame_sample(),
         "vt_total_us_states": SQL_VT_TOTAL,

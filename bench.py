@@ -254,9 +254,9 @@ def main():
     import __spark_entry__ as em
 
     extra = {}
-    for name in ("ann_lsh_topk", "ann_ivf_topk", "cosine_near_dup",
-                 "simhash_near_pairs", "phash_near_dups", "frame_sample",
-                 "winnow_pairs"):
+    for name in ("ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk",
+                 "cosine_near_dup", "simhash_near_pairs", "phash_near_dups",
+                 "frame_sample", "winnow_pairs"):
         t0 = time.time()
         em.queries()[name](spark, SF_DIR).count()
         extra[name] = round(time.time() - t0, 3)

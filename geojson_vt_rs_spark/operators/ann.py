@@ -568,3 +568,191 @@ def hamming_near_pairs(
         .filter(F.col("hamming") <= hamming_max)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# --------------------------------------------------- Product Quantization
+# The fourth ANN family (beside brute force / LSH / IVF): each vector is
+# chopped into PQ_NSUB subvectors of PQ_SUBDIM dims; each subvector is
+# quantized to its nearest codebook entry (argmin L2, sortable-struct
+# like with_ivf_cell); query scoring is Asymmetric Distance Computation —
+# a per-subspace lookup table of query-to-codeword distances computed
+# once on the driver, summed per row with element_at.  Codebooks are the
+# subvectors of the first PQ_NCODE table rows (no fitting step, derivable
+# by the oracle, same policy as the IVF centroids).  Candidates = rows
+# with the PQ_RESCORE smallest ADC distances (TakeOrderedAndProject),
+# then exact round-6 cosine rescoring.  At 100 TB the codes table is
+# NSUB bytes/vector — the classic memory-bound ANN layout.
+
+PQ_NSUB = 8
+PQ_SUBDIM = 8
+PQ_NCODE = 16
+
+
+def _dlit(v: float) -> str:
+    """Exact double literal (repr round-trips; D-suffix keeps Spark from
+    parsing plain decimals as DECIMAL under ANSI)."""
+    return f"{float(v)!r}D"
+
+
+def pq_codebooks(rows: list) -> list:
+    """rows = [(vec_id, [floats])] sorted by vec_id, len >= PQ_NCODE ->
+    codebooks[s][j] = j-th codeword of subspace s (list of doubles)."""
+    cw = []
+    for s in range(PQ_NSUB):
+        a = s * PQ_SUBDIM
+        cw.append(
+            [[float(x) for x in v[a:a + PQ_SUBDIM]]
+             for _, v in rows[:PQ_NCODE]]
+        )
+    return cw
+
+
+def _sq_dist_fold(vec_slice: str, const_arr: str) -> str:
+    """Sequential left-fold squared L2 distance — bit-identical to
+    DuckDB's list_sum(list_transform(list_zip(...), p -> (p[1]-p[2])*
+    (p[1]-p[2]))) and to a Python accumulation loop."""
+    return (
+        f"aggregate(zip_with({vec_slice}, {const_arr}, "
+        "(a, b) -> (cast(a as double) - b) * (cast(a as double) - b)), "
+        "0D, (acc, v) -> acc + v)"
+    )
+
+
+def with_pq_codes(
+    emb: DataFrame, codebooks: list, vec_col: str = "embedding"
+) -> DataFrame:
+    """Adds __pq0..__pq{NSUB-1}: per-subspace nearest-codeword index
+    (L2 argmin, ties to the smaller index).  Pure JVM SQL; the slices
+    index the raw column (attribute refs — cheap under projection
+    collapse, see CLAUDE.md) and every codeword array is an inlined
+    exact-double literal."""
+    d = emb
+    for s in range(PQ_NSUB):
+        sl = f"slice({vec_col}, {s * PQ_SUBDIM + 1}, {PQ_SUBDIM})"
+        structs = []
+        for j, cwv in enumerate(codebooks[s]):
+            arr = "array(" + ", ".join(_dlit(v) for v in cwv) + ")"
+            structs.append(
+                f"struct({_sq_dist_fold(sl, arr)} AS d, {j}L AS j)"
+            )
+        expr = (
+            "element_at(array_sort(array(" + ", ".join(structs) + ")), 1).j"
+        )
+        d = d.withColumn(f"__pq{s}", F.expr(expr))
+    return d
+
+
+def pq_adc_table(query_vec: list, codebooks: list) -> list:
+    """T[s][j] = squared L2 distance of the query's s-th subvector to
+    codeword j, via the SAME sequential fold the SQL uses."""
+    T = []
+    for s in range(PQ_NSUB):
+        a = s * PQ_SUBDIM
+        qs = [float(v) for v in query_vec[a:a + PQ_SUBDIM]]
+        row = []
+        for cwv in codebooks[s]:
+            acc = 0.0
+            for x, c in zip(qs, cwv):
+                acc += (float(x) - c) * (float(x) - c)
+            row.append(acc)
+        T.append(row)
+    return T
+
+
+def pq_topk(
+    emb: DataFrame,
+    query_vec: list,
+    codebooks: list,
+    k: int = 10,
+    rescore: int = 40,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ/ADC top-k: approximate distance = left-to-right sum of the
+    per-subspace table lookups; the `rescore` best candidates (ADC asc,
+    id asc — TakeOrderedAndProject, no WindowExec) get the exact round-6
+    cosine, then deterministic top-k."""
+    T = pq_adc_table(query_vec, codebooks)
+    coded = with_pq_codes(emb, codebooks, vec_col=vec_col)
+    terms = []
+    for s in range(PQ_NSUB):
+        arr = "array(" + ", ".join(_dlit(v) for v in T[s]) + ")"
+        terms.append(f"element_at({arr}, cast(__pq{s} + 1 as int))")
+    adist = " + ".join(terms)  # left-assoc: matches list_sum's fold order
+    cand = (
+        coded.withColumn("adist", F.expr(adist))
+        .orderBy(F.col("adist").asc(), F.col(id_col).asc())
+        .limit(rescore)
+    )
+    acc = 0.0
+    for v in query_vec:
+        acc += float(v) * float(v)
+    qn = acc ** 0.5
+    d = cand.select(
+        id_col,
+        F.expr(f"transform({vec_col}, v -> cast(v as double))").alias("emb"),
+    ).withColumn("q", F.array(*[F.lit(float(v)) for v in query_vec]))
+    dot = F.expr(
+        "aggregate(zip_with(emb, q, (a, b) -> a * b), 0D, (acc, v) -> acc + v)"
+    )
+    nrm = F.expr(
+        "sqrt(aggregate(transform(emb, a -> a * a), 0D, (acc, v) -> acc + v))"
+    )
+    scored = d.withColumn("cos", F.round(dot / (nrm * F.lit(qn)), 6))
+    return ranked_topk(scored, id_col, k)
+
+
+def duck_pq_topk_sql(
+    k: int = 10,
+    rescore: int = 40,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: int = 0,
+) -> str:
+    """DuckDB twin of pq_topk, re-deriving the codebooks from the table:
+    same argmin codes (window rn=1 over dist asc, j asc), the per-id ADC
+    sum as list_sum over the s-ORDERED distance list (the same left fold
+    as the SQL's literal additions), same candidate cut, same rescore."""
+    sq = "list_sum(list_transform(list_zip({a}, {b}), p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    return (
+        f"WITH q AS (SELECT {vec_col}::DOUBLE[] AS qv FROM {table} "
+        f"WHERE {id_col} = {query_id}), "
+        f"b AS (SELECT {id_col} AS id, {vec_col}::DOUBLE[] AS emb FROM {table}), "
+        f"subs AS (SELECT s FROM range(0, {PQ_NSUB}) t(s)), "
+        f"cent AS (SELECT c.{id_col} AS j, subs.s, "
+        f"list_slice(c.{vec_col}::DOUBLE[], subs.s * {PQ_SUBDIM} + 1, "
+        f"subs.s * {PQ_SUBDIM} + {PQ_SUBDIM}) AS cw "
+        f"FROM {table} c, subs WHERE c.{id_col} < {PQ_NCODE}), "
+        "bsub AS (SELECT b.id, subs.s, "
+        f"list_slice(b.emb, subs.s * {PQ_SUBDIM} + 1, "
+        f"subs.s * {PQ_SUBDIM} + {PQ_SUBDIM}) AS sub FROM b, subs), "
+        "dist AS (SELECT bsub.id, bsub.s, cent.j, "
+        + sq.format(a="bsub.sub", b="cent.cw")
+        + " AS d FROM bsub JOIN cent ON cent.s = bsub.s), "
+        "code AS (SELECT id, s, j FROM (SELECT *, row_number() OVER "
+        "(PARTITION BY id, s ORDER BY d ASC, j ASC) AS rn FROM dist) "
+        "WHERE rn = 1), "
+        "qd AS (SELECT cent.s, cent.j, "
+        + sq.format(
+            a=f"list_slice(q.qv, cent.s * {PQ_SUBDIM} + 1, "
+              f"cent.s * {PQ_SUBDIM} + {PQ_SUBDIM})",
+            b="cent.cw",
+        )
+        + " AS d FROM q, cent), "
+        "adist AS (SELECT code.id, "
+        "list_sum(list(qd.d ORDER BY code.s)) AS adist "
+        "FROM code JOIN qd ON qd.s = code.s AND qd.j = code.j "
+        "GROUP BY code.id), "
+        f"cand AS (SELECT id FROM adist ORDER BY adist ASC, id ASC "
+        f"LIMIT {rescore}), "
+        f"scored AS (SELECT b.id AS {id_col}, round("
+        "list_sum(list_transform(list_zip(b.emb, q.qv), p -> p[1] * p[2])) "
+        "/ (sqrt(list_sum(list_transform(b.emb, v -> v * v))) * "
+        "sqrt(list_sum(list_transform(q.qv, v -> v * v)))), 6) AS cos "
+        "FROM b, q WHERE b.id IN (SELECT id FROM cand)) "
+        f"SELECT {id_col}, rnk, cos FROM ("
+        f"SELECT {id_col}, CAST(row_number() OVER "
+        f"(ORDER BY cos DESC, {id_col}) AS INT) AS rnk, cos FROM scored"
+        f") WHERE rnk <= {k}"
+    )

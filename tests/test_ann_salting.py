@@ -214,3 +214,28 @@ def test_dedup_clusters_crafted_graph(spark):
         r.cluster_id: r.n_docs for r in dedup_canonical(docs, edges).collect()
     }
     assert sizes == {0: 3, 3: 1, 4: 2}
+
+
+def test_pq_topk_recall(spark):
+    """PQ/ADC candidates must recover most of the exact top-k, and the
+    codes must spread across the codebook (quantizer actually quantizes)."""
+    from geojson_vt_rs_spark.operators.ann import (
+        pq_codebooks,
+        pq_topk,
+        with_pq_codes,
+    )
+    from geojson_vt_rs_spark.operators.text_dedup import ann_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    rows = sorted(
+        (int(r["vec_id"]), [float(v) for v in r["embedding"]])
+        for r in emb.filter("vec_id < 16").collect()
+    )
+    cb = pq_codebooks(rows)
+    qv = [float(v) for v in emb.filter("vec_id = 0").collect()[0]["embedding"]]
+    exact = {r["vec_id"] for r in ann_topk(emb, qv, k=10).collect()}
+    approx = {r["vec_id"] for r in pq_topk(emb, qv, cb, k=10, rescore=40).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"PQ recall too low: {recall}"
+    codes = with_pq_codes(emb, cb).groupBy("__pq0").count().collect()
+    assert len(codes) > 4  # subspace 0 uses a spread of codewords
