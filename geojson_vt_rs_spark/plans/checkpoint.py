@@ -209,8 +209,6 @@ class CheckpointedPyramid:
                 F.lit(0).alias("z"), F.lit(0).alias("x"), F.lit(0).alias("y"), "*"
             )
 
-        from pyspark.sql import Window
-
         from concurrent.futures import ThreadPoolExecutor
 
         from geojson_vt_rs_spark.operators.pipeline import (
@@ -279,12 +277,13 @@ class CheckpointedPyramid:
                 "z int, x int, y int, feature_idx int, type int, kind int, "
                 "geometry_json string, tags_json string, tile_id_str string, "
                 "tile_id_num long, tile_id_float double, tile_num_points int, "
-                "tile_num_simplified int, action string"
+                "tile_num_simplified int, action string, world_copy int, "
+                "feature_seq long, slice_path string, sub_idx int"
             )
             # empty children of the previous level's split parents
             empty_rows = [
                 (z, x, y, -1, None, None, None, None, None, None, None,
-                 0, 0, "empty")
+                 0, 0, "empty", None, None, None, None)
                 for z, x, y in pending_children
                 if (z, x, y) not in observed
             ]
@@ -316,11 +315,13 @@ class CheckpointedPyramid:
             fr = frontier.join(F.broadcast(ddf), ["z", "x", "y"]).persist()
 
             # ONE fused per-row pass renders non-fused tiles AND clips
-            # split children (see plans/pyramid.py); feature_idx from the
-            # deterministic order key via a ranking window
-            w = Window.partitionBy("z", "x", "y").orderBy(
-                "world_copy", "feature_seq", "slice_path", "sub_idx"
-            )
+            # split children (see plans/pyramid.py).  feature_idx is NOT
+            # ranked here: a Window.partitionBy(z,x,y) at z0 has ONE
+            # partition, serializing the whole dataset through a single
+            # task (54s of the 76s 1M build; 8->32 efficiency 0.236).
+            # Instead the deterministic order-key columns are persisted
+            # and read_tile derives feature_idx per tile (trivial there —
+            # one tile's rows).
             step2 = render_split_stage(
                 fr.filter(F.col("action") != "fuse"), o
             ).localCheckpoint(eager=False)  # truncate cross-level lineage
@@ -330,17 +331,17 @@ class CheckpointedPyramid:
             ]
             # wave 1 — the heavy write; materializes fr and step2 so the
             # follow-up collections scan cached data
-            rend.filter(F.col("sub_idx") >= 0).withColumn(
-                "feature_idx", F.row_number().over(w) - 1
-            ).select(
-                "z", "x", "y", "feature_idx", "type", "kind",
-                "geometry_json", "tags_json",
+            rend.filter(F.col("sub_idx") >= 0).select(
+                "z", "x", "y",
+                F.lit(None).cast("int").alias("feature_idx"),
+                "type", "kind", "geometry_json", "tags_json",
                 F.col("id_str").alias("tile_id_str"),
                 F.col("id_num").alias("tile_id_num"),
                 F.col("id_float").alias("tile_id_float"),
                 F.lit(None).cast("int").alias("tile_num_points"),
                 F.lit(None).cast("int").alias("tile_num_simplified"),
                 F.lit("feature").alias("action"),
+                "world_copy", "feature_seq", "slice_path", "sub_idx",
             ).write.mode("append").partitionBy("z").parquet(stg_tiles)
 
             # wave 2 — independent actions over the cached step2 run as
@@ -407,7 +408,7 @@ class CheckpointedPyramid:
             # subtree kernel's K_STATS rows instead
             stats_rows = empty_rows + [
                 (z, x, y, -1, None, None, None, None, None, None, None, tnp,
-                 ns_map.get((z, x, y), (0, 0))[0], a)
+                 ns_map.get((z, x, y), (0, 0))[0], a, None, None, None, None)
                 for z, x, y, a, tnp in decisions
                 if a != "fuse"
             ]
@@ -427,12 +428,24 @@ class CheckpointedPyramid:
                     .applyInPandas(kernel, schema=STEP_SCHEMA)
                     .persist()
                 )
+                is_tile = F.col("row_kind") == K_TILE
                 step.filter(F.col("row_kind").isin(K_TILE, K_STATS)).select(
-                    "z", "x", "y", "feature_idx", "type", "kind",
+                    "z", "x", "y",
+                    # keep only the -1 stats marker; feature rows derive
+                    # feature_idx at read time from synthesized order keys
+                    # (0, kernel_idx, '', 0) — the read-time rank over
+                    # (world_copy, feature_seq, slice_path, sub_idx)
+                    # reproduces the kernel's order exactly
+                    F.when(~is_tile, F.col("feature_idx")).alias("feature_idx"),
+                    "type", "kind",
                     "geometry_json", "tags_json", "tile_id_str", "tile_id_num",
                     "tile_id_float",
                     "tile_num_points", "tile_num_simplified",
                     F.coalesce(F.col("action"), F.lit("feature")).alias("action"),
+                    F.when(is_tile, F.lit(0)).alias("world_copy"),
+                    F.when(is_tile, F.col("feature_idx").cast("long")).alias("feature_seq"),
+                    F.when(is_tile, F.lit("")).alias("slice_path"),
+                    F.when(is_tile, F.lit(0)).alias("sub_idx"),
                 ).write.mode("append").partitionBy("z").parquet(stg_tiles)
                 step.filter(F.col("row_kind") == K_LEAF).select(
                     *TILED_COLS
@@ -504,11 +517,22 @@ class CheckpointedPyramid:
 
     def read_tile(self, out_dir: str, z: int, x: int, y: int) -> DataFrame:
         """Partition-pruned point lookup on the tiles table (get_tile
-        memo-hit path, lib.rs:193-195)."""
+        memo-hit path, lib.rs:193-195).  feature_idx is derived HERE from
+        the persisted deterministic order-key columns — the output is one
+        tile, so the rank window is a single tiny partition.  (Ranking at
+        write time would funnel the entire dataset through 1-4 tasks at
+        z0/z1 — the scale-killer removed in round 4.)"""
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("z", "x", "y").orderBy(
+            "world_copy", "feature_seq", "slice_path", "sub_idx"
+        )
         return (
             self.spark.read.parquet(os.path.join(out_dir, "tiles"))
             .filter((F.col("z") == z) & (F.col("x") == x) & (F.col("y") == y))
-            .filter(F.col("feature_idx") >= 0)
+            .filter(F.col("type").isNotNull())
+            .withColumn("feature_idx", F.row_number().over(w) - 1)
+            .drop("world_copy", "feature_seq", "slice_path", "sub_idx")
             .orderBy("feature_idx")
         )
 
@@ -636,8 +660,6 @@ class CheckpointedPyramid:
         drills) are excluded via a broadcast anti-join on ``existing`` —
         the caller's index-sized tile-key set (one stats-row scan,
         _tile_keys)."""
-        from pyspark.sql import Window
-
         from geojson_vt_rs_spark.operators.pipeline import (
             RS_CAGG,
             RS_CHILD,
@@ -670,7 +692,8 @@ class CheckpointedPyramid:
             "z int, x int, y int, feature_idx int, type int, kind int, "
             "geometry_json string, tags_json string, tile_id_str string, "
             "tile_id_num long, tile_id_float double, tile_num_points int, "
-            "tile_num_simplified int, action string"
+            "tile_num_simplified int, action string, world_copy int, "
+            "feature_seq long, slice_path string, sub_idx int"
         )
 
         def _decide(tz, tx, ty, tnp):
@@ -683,9 +706,6 @@ class CheckpointedPyramid:
                 return "leaf"
             return "fuse" if tnp <= fuse_max else "split"
 
-        w = Window.partitionBy("z", "x", "y").orderBy(
-            "world_copy", "feature_seq", "slice_path", "sub_idx"
-        )
         pending_children: list = []
         prev = None
         next_np = None  # RS_CAGG partials from the previous level's pass
@@ -708,7 +728,7 @@ class CheckpointedPyramid:
             }
             empty_rows = [
                 (ez, ex, ey, -1, None, None, None, None, None, None, None,
-                 0, 0, "drill")
+                 0, 0, "drill", None, None, None, None)
                 for ez, ex, ey in pending_children
                 if (ez, ex, ey) not in observed and (ez, ex, ey) not in existing
             ]
@@ -738,17 +758,17 @@ class CheckpointedPyramid:
                 fr.filter(F.col("action") != "fuse"), o
             ).localCheckpoint(eager=False)
             rend = step2.filter(F.col("row_kind") == RS_RENDER)
-            rend.filter(F.col("sub_idx") >= 0).withColumn(
-                "feature_idx", F.row_number().over(w) - 1
-            ).select(
-                "z", "x", "y", "feature_idx", "type", "kind",
-                "geometry_json", "tags_json",
+            rend.filter(F.col("sub_idx") >= 0).select(
+                "z", "x", "y",
+                F.lit(None).cast("int").alias("feature_idx"),
+                "type", "kind", "geometry_json", "tags_json",
                 F.col("id_str").alias("tile_id_str"),
                 F.col("id_num").alias("tile_id_num"),
                 F.col("id_float").alias("tile_id_float"),
                 F.lit(None).cast("int").alias("tile_num_points"),
                 F.lit(None).cast("int").alias("tile_num_simplified"),
                 F.lit("drill").alias("action"),
+                "world_copy", "feature_seq", "slice_path", "sub_idx",
             ).join(exist_df, ["z", "x", "y"], "left_anti").write.mode(
                 "append"
             ).partitionBy("z").parquet(stg_tiles)
@@ -797,7 +817,8 @@ class CheckpointedPyramid:
             }
             stats_rows = empty_rows + [
                 (tz, tx, ty, -1, None, None, None, None, None, None, None,
-                 tnp, ns_map.get((tz, tx, ty), 0), "drill")
+                 tnp, ns_map.get((tz, tx, ty), 0), "drill",
+                 None, None, None, None)
                 for tz, tx, ty, a, tnp in decisions
                 if a != "fuse" and (tz, tx, ty) not in existing
             ]
@@ -815,12 +836,19 @@ class CheckpointedPyramid:
                     .join(exist_df, ["z", "x", "y"], "left_anti")
                     .persist()
                 )
+                is_tile = F.col("row_kind") == K_TILE
                 step.filter(F.col("row_kind").isin(K_TILE, K_STATS)).select(
-                    "z", "x", "y", "feature_idx", "type", "kind",
+                    "z", "x", "y",
+                    F.when(~is_tile, F.col("feature_idx")).alias("feature_idx"),
+                    "type", "kind",
                     "geometry_json", "tags_json", "tile_id_str",
                     "tile_id_num", "tile_id_float",
                     "tile_num_points", "tile_num_simplified",
                     F.lit("drill").alias("action"),
+                    F.when(is_tile, F.lit(0)).alias("world_copy"),
+                    F.when(is_tile, F.col("feature_idx").cast("long")).alias("feature_seq"),
+                    F.when(is_tile, F.lit("")).alias("slice_path"),
+                    F.when(is_tile, F.lit(0)).alias("sub_idx"),
                 ).write.mode("append").partitionBy("z").parquet(stg_tiles)
                 step.filter(F.col("row_kind") == K_LEAF).select(
                     *TILED_COLS

@@ -167,12 +167,16 @@ def test_checkpointed_pyramid_golden_corpus(spark, tmp_path):
         f"z{int(r.z)}-{int(r.x)}-{int(r.y)}": []
         for r in all_rows[all_rows.feature_idx < 0].itertuples(index=False)
     }
-    rows = all_rows[all_rows.feature_idx >= 0]
+    # feature rows carry the persisted order keys (feature_idx is derived
+    # at read time by read_tile); sort here exactly as read_tile ranks
+    rows = all_rows[all_rows["type"].notna()]
     from geojson_vt_rs_spark.core.geom import GEOM_MULTIPOLYGON
 
     for (z, x, y), grp in rows.groupby(["z", "x", "y"]):
         feats_c = []
-        for r in grp.sort_values("feature_idx").itertuples(index=False):
+        for r in grp.sort_values(
+            ["world_copy", "feature_seq", "slice_path", "sub_idx"]
+        ).itertuples(index=False):
             geom = _json.loads(r.geometry_json)
             if int(r.kind) == GEOM_MULTIPOLYGON:
                 geom = [ring for poly in geom for ring in poly]
@@ -246,21 +250,24 @@ def test_checkpointed_exactly_once_after_crash(spark, tmp_path):
     s1 = cp.run(feats, out)
     assert s1["levels"] >= 2  # need a real multi-level run for the test
 
+    key_cols = ["z", "x", "y", "world_copy", "feature_seq", "slice_path",
+                "sub_idx"]
+
     def snapshot():
         return (
             spark.read.parquet(os.path.join(out, "tiles"))
             .select(
-                "z", "x", "y", "feature_idx", "geometry_json", "tags_json"
+                "z", "x", "y", "feature_idx", "type", "world_copy",
+                "feature_seq", "slice_path", "sub_idx", "geometry_json",
+                "tags_json",
             )
-            .sort("z", "x", "y", "feature_idx", "geometry_json")
+            .sort(*key_cols, "feature_idx", "geometry_json")
             .toPandas()
         )
 
     def assert_no_dupes(pdf):
-        keyed = pdf[pdf["feature_idx"] >= 0]
-        assert not keyed.duplicated(
-            subset=["z", "x", "y", "feature_idx"]
-        ).any()
+        keyed = pdf[pdf["type"].notna()]
+        assert not keyed.duplicated(subset=key_cols).any()
 
     base = snapshot()
     assert_no_dupes(base)
