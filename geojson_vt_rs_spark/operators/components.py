@@ -8,10 +8,10 @@ computed by min-label propagation — every document starts labeled with
 its own id, and each round takes the min over its own label and its
 neighbors' labels, converging in O(component diameter) rounds.  Near-dup
 graphs are shallow (dup groups are cliques-ish), so a handful of rounds
-suffices; for adversarial long-chain graphs the same loop accepts the
-large-star/small-star edge rewiring (Kiveris et al., "Connected
-Components in MapReduce and Beyond", SoCC'14) which bounds rounds at
-O(log n) — the loop structure below is unchanged.
+suffices; for adversarial long-chain graphs ``algorithm="star"`` runs
+the alternating large-star/small-star edge rewiring (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14), which
+converges in O(log^2 n) rounds regardless of diameter.
 
 Scale design: one shuffled join + partial/final min-agg per round, both
 keyed on doc_id; per-round ``localCheckpoint`` truncates the iterative
@@ -52,16 +52,114 @@ def default_edges(docs: DataFrame) -> DataFrame:
     ).select("doc_a", "doc_b")
 
 
+def _canon_edges(e: DataFrame) -> DataFrame:
+    """Undirected edge set in canonical (u < v) form, self-loops dropped."""
+    return (
+        e.select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Kiveris et al. SoCC'14 §3 large-star: every node connects its
+    STRICTLY LARGER neighbors to the minimum of its closed neighborhood.
+    Connectivity-preserving; shrinks long chains geometrically."""
+    d = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    m = (
+        d.groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .select("u", F.least("mn", F.col("u")).alias("m"))
+    )
+    return _canon_edges(
+        d.join(m, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star: every node connects its smaller neighbors (and itself)
+    to the minimum of those neighbors — flattens the stars large-star
+    builds."""
+    d = e.select(F.col("v").alias("u"), F.col("u").alias("v"))  # u > v
+    m = d.groupBy("u").agg(F.min("v").alias("m"))
+    return _canon_edges(
+        d.join(m, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .union(m.select("u", F.col("m").alias("v")))
+    )
+
+
+def _star_labels(
+    docs: DataFrame, edges: DataFrame, max_rounds: int
+) -> DataFrame:
+    """Alternating large-star/small-star rounds to the star fixpoint
+    (every node directly adjacent to its component minimum), then one
+    join derives the labels.  O(log^2 n) rounds worst-case vs plain
+    propagation's O(diameter) — the scale path for chain-shaped near-dup
+    graphs (drifting boilerplate).  Each round: 2 grouped mins + 2 joins
+    + a distinct, all keyed shuffles; per-round localCheckpoint truncates
+    the iterative lineage; the driver holds one (count, sum) pair."""
+    e = _canon_edges(
+        edges.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    ).localCheckpoint(eager=False)
+    prev = None
+    converged = False
+    for _ in range(max_rounds):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
+        stat = e.agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum(F.col("u") + F.col("v")).alias("s"),
+        ).collect()[0]
+        sig = (stat["c"], stat["s"])
+        if sig == prev:
+            converged = True
+            break  # edge set is a fixpoint of both stars -> disjoint stars
+        prev = sig
+    if not converged:
+        raise RuntimeError(
+            f"star rounds did not converge within {max_rounds} rounds"
+        )
+    # at the fixpoint each non-minimum node has an edge to its component
+    # minimum; the minimum's own neighbors are all larger
+    d = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    nmin = d.groupBy("u").agg(F.min("v").alias("mn"))
+    return docs.select("doc_id").join(
+        nmin, docs["doc_id"] == nmin["u"], "left"
+    ).select(
+        "doc_id",
+        F.least(
+            F.coalesce(F.col("mn"), F.col("doc_id")), F.col("doc_id")
+        ).alias("cluster_id"),
+    )
+
+
 def dedup_clusters(
     docs: DataFrame,
     edges: Optional[DataFrame] = None,
     max_rounds: int = 50,
+    algorithm: str = "label",
 ) -> DataFrame:
     """(doc_id, cluster_id) for EVERY document; cluster_id is the minimum
     doc_id of the document's connected component (singletons map to
-    themselves).  Deterministic for a given edge set."""
+    themselves).  Deterministic for a given edge set.
+
+    ``algorithm="label"`` (default) is plain min-label propagation —
+    O(component diameter) rounds, ideal for the clique-ish graphs real
+    dup groups form and byte-identical to the DuckDB recursive-CTE
+    oracle.  ``algorithm="star"`` runs alternating large-star/small-star
+    rewiring (Kiveris et al., SoCC'14) — O(log^2 n) rounds, the scale
+    path for adversarial long-chain graphs.  Both produce identical
+    labels (asserted by tests on chain + clique corpora)."""
     if edges is None:
         edges = default_edges(docs)
+    if algorithm == "star":
+        return _star_labels(docs, edges, max_rounds)
+    if algorithm != "label":
+        raise ValueError(f"unknown algorithm: {algorithm!r}")
     und = edges.union(
         edges.select(
             F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
@@ -71,6 +169,7 @@ def dedup_clusters(
         F.col("doc_id"), F.col("doc_id").alias("cluster_id")
     ).localCheckpoint(eager=False)
     prev_sum = None
+    converged = False
     for _ in range(max_rounds):
         # neighbor labels flow along edges; min with own label
         msgs = und.join(
@@ -85,9 +184,18 @@ def dedup_clusters(
         s = upd.agg(F.sum("cluster_id").alias("s")).collect()[0]["s"]
         labels = upd
         if s == prev_sum:
+            converged = True
             break  # fixpoint: label sum is strictly decreasing until done
         prev_sum = s
     und.unpersist()
+    if not converged:
+        # silently returning partial labels would make downstream
+        # canonical selection quietly wrong on long-chain graphs
+        raise RuntimeError(
+            f"dedup_clusters did not reach a fixpoint within {max_rounds} "
+            "rounds (component diameter exceeds max_rounds); raise "
+            "max_rounds or pre-contract chains"
+        )
     return labels
 
 

@@ -64,17 +64,43 @@ def encode_vtv(frames: list) -> bytes:
 
 
 def decode_vtv(data: bytes) -> np.ndarray:
-    """VTV1 container -> (n_frames, h, w, 3) uint8."""
+    """VTV1 container -> (n_frames, h, w, 3) uint8.  The header is
+    UNTRUSTED: frame count / dims are bound-checked against the payload
+    size BEFORE allocation, and every malformation raises ValueError."""
     data = bytes(data)
+    if len(data) < 12:
+        raise ValueError("truncated VTV1 container (no header)")
     if data[:4] != _VTV_MAGIC:
         raise ValueError("not a VTV1 container")
     w, h, n = struct.unpack(">HHI", data[4:12])
+    # each frame needs at least its 4-byte length prefix, so a hostile
+    # n_frames cannot force a multi-GB np.empty
+    if n * 4 > len(data) - 12:
+        raise ValueError(
+            f"VTV1 header claims {n} frames but payload is "
+            f"{len(data) - 12} bytes"
+        )
     pos = 12
     frames = np.empty((n, h, w, 3), dtype=np.uint8)
     for fi in range(n):
+        if pos + 4 > len(data):
+            raise ValueError("truncated VTV1 container (frame prefix)")
         (ln,) = struct.unpack(">I", data[pos : pos + 4])
         pos += 4
-        frames[fi] = decode_png(data[pos : pos + ln])
+        if pos + ln > len(data):
+            raise ValueError("truncated VTV1 container (frame payload)")
+        try:
+            frame = decode_png(data[pos : pos + ln])
+        except ValueError:
+            raise
+        except Exception as e:  # PNG-layer struct/zlib errors
+            raise ValueError(f"malformed VTV1 frame {fi}: {e}") from e
+        if frame.shape[:2] != (h, w):
+            raise ValueError(
+                f"VTV1 frame {fi} is {frame.shape[:2]}, header says "
+                f"{(h, w)}"
+            )
+        frames[fi] = frame
         pos += ln
     return frames
 

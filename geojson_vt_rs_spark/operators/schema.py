@@ -54,6 +54,17 @@ FEATURE_FIELDS = [
 
 FEATURE_SCHEMA = T.StructType(FEATURE_FIELDS)
 
+# CheckpointedPyramid tiles-table row DDL (plans/checkpoint.py): feature
+# rows carry the deterministic order-key columns (feature_idx NULL, ranked
+# at read time); stats rows keep the feature_idx = -1 marker
+TILE_STORE_DDL = (
+    "z int, x int, y int, feature_idx int, type int, kind int, "
+    "geometry_json string, tags_json string, tile_id_str string, "
+    "tile_id_num long, tile_id_float double, tile_num_points int, "
+    "tile_num_simplified int, action string, world_copy int, "
+    "feature_seq long, slice_path string, sub_idx int"
+)
+
 # features flowing through the pyramid carry their tile assignment
 TILED_FEATURE_SCHEMA = T.StructType(
     [

@@ -85,11 +85,25 @@ def _plan_key(df: DataFrame):
     """Semantic hash of the analyzed plan — stable across separate reads
     of the same source (canonicalized), so repeat calls over the same
     input reuse the cached band table instead of recomputing.  Returns
-    None where the JVM plan is unreachable (e.g. Spark Connect)."""
+    None where the JVM plan is unreachable (e.g. Spark Connect).
+
+    Caveat: the hash sees the PLAN, not the data — rewriting the same
+    input path in place within a session leaves the key unchanged and
+    would serve the stale persisted table.  Call ``clear_dedup_caches()``
+    after such a rewrite."""
     try:
         return df._jdf.queryExecution().analyzed().semanticHash()
     except Exception:
         return None
+
+
+def clear_dedup_caches() -> None:
+    """Unpersist and drop the plan-keyed band/fingerprint caches.
+    Needed after an in-place rewrite of a cached input path (the
+    semantic plan key cannot observe data changes)."""
+    for cache in (_BAND_CACHE, _WINNOW_CACHE):
+        for k in list(cache):
+            cache.pop(k).unpersist()
 
 
 def minhash_band_pairs(docs: DataFrame) -> DataFrame:
@@ -129,10 +143,12 @@ def minhash_band_pairs(docs: DataFrame) -> DataFrame:
         # callers (q_ngram_jaccard, warm bench loops) hit the cache even
         # when interleaved with other queries.
         bands = bands.persist()
-        if key is not None:
-            for k in [k for k in _BAND_CACHE if k != key]:
-                _BAND_CACHE.pop(k).unpersist()
-            _BAND_CACHE[key] = bands
+        # track under key even when key is None (never SERVED stale — the
+        # lookup above is key-guarded — but tracked so the next call
+        # evicts it instead of leaking persisted tables)
+        for k in [k for k in _BAND_CACHE if k != key]:
+            _BAND_CACHE.pop(k).unpersist()
+        _BAND_CACHE[key] = bands
     a = bands.alias("a")
     bb = bands.alias("b")
     n_equal = sum(
@@ -551,10 +567,10 @@ def winnow_pairs(docs: DataFrame) -> DataFrame:
     fpt = _WINNOW_CACHE.get(key) if key is not None else None
     if fpt is None:
         fpt = winnow_fingerprint_rows(docs).persist()
-        if key is not None:
-            for k in [k for k in _WINNOW_CACHE if k != key]:
-                _WINNOW_CACHE.pop(k).unpersist()
-            _WINNOW_CACHE[key] = fpt
+        # same None-key tracking discipline as _BAND_CACHE
+        for k in [k for k in _WINNOW_CACHE if k != key]:
+            _WINNOW_CACHE.pop(k).unpersist()
+        _WINNOW_CACHE[key] = fpt
     a = fpt.alias("a")
     b = fpt.alias("b")
     return (

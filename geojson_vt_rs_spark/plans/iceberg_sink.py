@@ -68,9 +68,30 @@ class IcebergTileSink:
         except Exception:
             pass  # already exists
 
-    def _table(self, name: str, sample_parquet: str):
+    def _fallback_schema(self, name: str):
+        """Arrow schema for an all-empty first level (no data file to
+        sample): derived from the engine's stable row schemas, minus the
+        ``z`` hive-partition column the parquet files never contain."""
+        from pyspark.sql.pandas.types import to_arrow_schema
+        from pyspark.sql.types import StructType
+
+        from geojson_vt_rs_spark.operators.schema import (
+            TILE_STORE_DDL,
+            TILED_FEATURE_SCHEMA,
+        )
+
+        spark_schema = (
+            StructType.fromDDL(TILE_STORE_DDL)
+            if name == "tiles"
+            else TILED_FEATURE_SCHEMA
+        )
+        arrow = to_arrow_schema(spark_schema)
+        return arrow.remove(arrow.get_field_index("z"))
+
+    def _table(self, name: str, sample_parquet: Optional[str]):
         """Load or create the table with the schema of the first data
-        file (the engine's schemas are stable across levels)."""
+        file (the engine's schemas are stable across levels); an
+        all-empty first level falls back to the engine schema."""
         import pyarrow.parquet as pq
         from pyiceberg.exceptions import NoSuchTableError
 
@@ -78,18 +99,21 @@ class IcebergTileSink:
         try:
             return self.catalog.load_table(ident)
         except NoSuchTableError:
-            schema = pq.read_schema(sample_parquet)
+            schema = (
+                pq.read_schema(sample_parquet)
+                if sample_parquet is not None
+                else self._fallback_schema(name)
+            )
             return self.catalog.create_table(ident, schema=schema)
 
     def commit_level(self, name: str, level_dir: str, manifest: dict) -> None:
         """Register the published level dir's parquet files as ONE
         snapshot whose summary carries the level manifest — the atomic
-        commit point replacing the JSON manifest file."""
+        commit point replacing the JSON manifest file.  A level with no
+        parquet files (all-empty tiles) still commits its manifest."""
         files = sorted(
             glob.glob(os.path.join(level_dir, "**", "*.parquet"), recursive=True)
-        )
-        if not files:
-            files = []
+        ) if level_dir else []
         table = self._table(name, files[0] if files else None)
         with table.transaction() as tx:
             if files:

@@ -214,6 +214,33 @@ def test_dedup_clusters_crafted_graph(spark):
         r.cluster_id: r.n_docs for r in dedup_canonical(docs, edges).collect()
     }
     assert sizes == {0: 3, 3: 1, 4: 2}
+    # the star variant resolves the same graph identically
+    star = {
+        r.doc_id: r.cluster_id
+        for r in dedup_clusters(docs, edges, algorithm="star").collect()
+    }
+    assert star == got
+
+
+def test_dedup_clusters_long_chain(spark):
+    """A 1000-node path graph (diameter 999): plain min-label propagation
+    needs O(diameter) rounds — it must REFUSE to return partial labels
+    within 50 rounds — while the large-star/small-star rewiring converges
+    in O(log^2 n) rounds with the exact component labels."""
+    import pytest
+
+    from geojson_vt_rs_spark.operators.components import dedup_clusters
+
+    n = 1000
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not reach a fixpoint"):
+        dedup_clusters(docs, edges, max_rounds=10)
+    star = dedup_clusters(docs, edges, max_rounds=25, algorithm="star")
+    got = {r.doc_id: r.cluster_id for r in star.collect()}
+    assert got == {i: 0 for i in range(n)}
 
 
 def test_pq_topk_recall(spark):

@@ -75,3 +75,15 @@ def test_vtv_container_roundtrip():
         _decode_frames(b"xx", 2, 2, 1, "h264")
     with pytest.raises(ValueError):
         decode_vtv(b"nonsense")
+    # hostile header: a huge claimed frame count must be rejected BEFORE
+    # any allocation (bound-checked against payload size)
+    import struct
+
+    hostile = b"VTV1" + struct.pack(">HHI", 4096, 4096, 2**31 - 1)
+    with pytest.raises(ValueError, match="claims"):
+        decode_vtv(hostile)
+    # truncated mid-frame -> clean ValueError, not struct/PNG internals
+    with pytest.raises(ValueError):
+        decode_vtv(data[: len(data) // 2])
+    with pytest.raises(ValueError):
+        decode_vtv(data[:8])  # shorter than the fixed header
