@@ -670,8 +670,17 @@ def pq_topk(
 ) -> DataFrame:
     """PQ/ADC top-k: approximate distance = left-to-right sum of the
     per-subspace table lookups; the `rescore` best candidates (ADC asc,
-    id asc — TakeOrderedAndProject, no WindowExec) get the exact round-6
-    cosine, then deterministic top-k."""
+    id asc) get the exact round-6 cosine, then deterministic top-k.
+
+    The candidate cut MUST compile to TakeOrderedAndProject (per-partition
+    local top-k, driver merge) — naively chaining the rescore projections
+    after ``orderBy().limit()`` lets Catalyst push them BELOW the limit as
+    two uncollapsable Projects (the array exprs are multi-referenced),
+    breaking the ``Limit(Sort)`` pattern and lowering the cut to a global
+    range-sort with two extra exchanges.  The ``collect_list`` aggregate
+    directly after the limit is the barrier: aggregates never push below
+    limits, the cut stays ``Limit(Sort(...))``, and the agg itself only
+    ever sees the <=``rescore`` surviving rows."""
     T = pq_adc_table(query_vec, codebooks)
     coded = with_pq_codes(emb, codebooks, vec_col=vec_col)
     terms = []
@@ -679,10 +688,18 @@ def pq_topk(
         arr = "array(" + ", ".join(_dlit(v) for v in T[s]) + ")"
         terms.append(f"element_at({arr}, cast(__pq{s} + 1 as int))")
     adist = " + ".join(terms)  # left-assoc: matches list_sum's fold order
-    cand = (
+    cut = (
         coded.withColumn("adist", F.expr(adist))
         .orderBy(F.col("adist").asc(), F.col(id_col).asc())
         .limit(rescore)
+    )
+    cand = (
+        cut.agg(F.collect_list(F.struct(id_col, vec_col)).alias("cands"))
+        .select(F.explode("cands").alias("c"))
+        .select(
+            F.col(f"c.{id_col}").alias(id_col),
+            F.col(f"c.{vec_col}").alias(vec_col),
+        )
     )
     acc = 0.0
     for v in query_vec:
