@@ -407,6 +407,9 @@ RS_CHILD = 1
 # decision agg finishes these index-sized partials in pandas, so a
 # pyramid level needs NO separate Spark agg job (one wave per level)
 RS_CAGG = 2
+# retained-leaf source rows (drill_descend_stage output only): rows of a
+# tile the drill leaves as-is, destined for the leaves store
+RS_LEAF = 3
 
 _RS_RENDER_ONLY = ["sub_idx", "type", "kind", "geometry_json", "tags_json",
                    "n_emitted"]
@@ -425,18 +428,13 @@ RS_SCHEMA = T.StructType(
 RS_COLS = [f.name for f in RS_SCHEMA.fields]
 
 
-def render_split_stage(df: DataFrame, options: Options) -> DataFrame:
-    """ONE Python pass per pyramid level: renders every row (RS_RENDER
-    rows, the per-feature RENDER_SCHEMA payload) and, for rows whose tile
-    the driver decided to split (action == 'split'), also emits the child
-    features (RS_CHILD rows) — the VtFeature is constructed once and
-    shared by both, and the level runs one Spark job instead of a render
-    job plus a split job.
-
-    The split side keeps split_stage's columnar fast path: bbox-contained
-    rows pass through as pandas slices with no per-feature Python.
-    Input must carry the driver's ``action`` column ('leaf'/'split').
-    """
+def _rs_body(options: Options):
+    """Factory for the render+split PER-BATCH body shared by
+    render_split_stage (one call per level) and drill_descend_stage (one
+    call per level per batch, looped in-kernel).  Returns
+    ``body(pdf) -> (parts, cagg)``: ``parts`` is a list of RS_COLS
+    DataFrames (RS_RENDER / RS_CHILD rows), ``cagg`` the batch's child
+    (num_points, row_count) partials keyed by (z, x, y)."""
     buffer = options.tile.buffer
     extent = options.tile.extent
     tol = options.tile.tolerance
@@ -448,26 +446,21 @@ def render_split_stage(df: DataFrame, options: Options) -> DataFrame:
     from geojson_vt_rs_spark.core.tile import TYPE_POINT, _round_half_away
 
     _MISS = object()
+    tags_cache: dict = {}
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        tags_cache: dict = {}
+    def canon_tags(p):
+        # canonical tags_json == json.dumps(json.loads(p)) with empty
+        # props -> None (tile.rs:86-90); cached per distinct string
+        if not isinstance(p, str):
+            return None
+        r = tags_cache.get(p, _MISS)
+        if r is _MISS:
+            t = json.loads(p)
+            r = None if not t else json.dumps(t, separators=(",", ":"))
+            tags_cache[p] = r
+        return r
 
-        def canon_tags(p):
-            # canonical tags_json == json.dumps(json.loads(p)) with empty
-            # props -> None (tile.rs:86-90); cached per distinct string
-            if not isinstance(p, str):
-                return None
-            r = tags_cache.get(p, _MISS)
-            if r is _MISS:
-                t = json.loads(p)
-                r = None if not t else json.dumps(t, separators=(",", ":"))
-                tags_cache[p] = r
-            return r
-
-        for pdf in batches:
-            if pdf.empty:
-                yield pd.DataFrame(columns=RS_COLS)
-                continue
+    def body(pdf: pd.DataFrame):
             z = pdf["z"].to_numpy()
             x = pdf["x"].to_numpy()
             y = pdf["y"].to_numpy()
@@ -670,26 +663,158 @@ def render_split_stage(df: DataFrame, options: Options) -> DataFrame:
                                     )
             if out:
                 parts.append(pd.DataFrame(out, columns=RS_COLS))
+            return parts, cagg
+
+    return body
+
+
+def _rs_cagg_frame(cagg: dict) -> pd.DataFrame:
+    """(z,x,y) -> (num_points, row_count) partials as RS_CAGG rows.
+    n_emitted doubles as the partial child ROW count so the driver can
+    finish n_children without a job."""
+    keys = list(cagg)
+    d = {c: [None] * len(keys) for c in RS_COLS}
+    d.update(
+        row_kind=RS_CAGG,
+        z=[k[0] for k in keys],
+        x=[k[1] for k in keys],
+        y=[k[2] for k in keys],
+        num_points=[int(v[0]) for v in cagg.values()],
+        n_emitted=[int(v[1]) for v in cagg.values()],
+    )
+    return pd.DataFrame(d, columns=RS_COLS)
+
+
+def render_split_stage(df: DataFrame, options: Options) -> DataFrame:
+    """ONE Python pass per pyramid level: renders every row (RS_RENDER
+    rows, the per-feature RENDER_SCHEMA payload) and, for rows whose tile
+    the driver decided to split (action == 'split'), also emits the child
+    features (RS_CHILD rows) — the VtFeature is constructed once and
+    shared by both, and the level runs one Spark job instead of a render
+    job plus a split job.
+
+    The split side keeps split_stage's columnar fast path: bbox-contained
+    rows pass through as pandas slices with no per-feature Python.
+    Input must carry the driver's ``action`` column ('leaf'/'split').
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        body = _rs_body(options)
+        for pdf in batches:
+            if pdf.empty:
+                yield pd.DataFrame(columns=RS_COLS)
+                continue
+            parts, cagg = body(pdf)
             if cagg:
-                keys = list(cagg)
-                d = {c: [None] * len(keys) for c in RS_COLS}
-                d.update(
-                    row_kind=RS_CAGG,
-                    z=[k[0] for k in keys],
-                    x=[k[1] for k in keys],
-                    y=[k[2] for k in keys],
-                    num_points=[int(v[0]) for v in cagg.values()],
-                    # n_emitted doubles as the partial child ROW count so
-                    # the driver can finish n_children without a job
-                    n_emitted=[int(v[1]) for v in cagg.values()],
-                )
-                parts.append(pd.DataFrame(d, columns=RS_COLS))
+                parts.append(_rs_cagg_frame(cagg))
             # yield each part as its own Arrow batch: pd.concat of mixed
             # all-NA object frames triggers an elementwise NA scan (~4s
             # per 100k-row batch measured) that the separate batches skip
             for part in parts:
                 if len(part):
                     yield part[RS_COLS]
+
+    return df.mapInPandas(kernel, schema=RS_SCHEMA)
+
+
+def drill_descend_stage(
+    df: DataFrame, options: Options, root: tuple, target: tuple
+) -> DataFrame:
+    """The ENTIRE root-to-target drill descent as ONE feature-parallel
+    mapInPandas pass (get_tile cold-miss path, lib.rs:184-223).
+
+    Key property making this possible: unlike the build, a drill's
+    per-tile decisions are purely STRUCTURAL — a tile stops at max_zoom,
+    is a leaf at the target zoom or off the target path, and otherwise
+    splits (lib.rs:324-338).  No per-tile point count is needed, so no
+    per-level driver round-trip: each batch of the ancestor's retained
+    leaf rows walks all levels in-kernel (5-7 levels of the former loop
+    = 5-7 Spark jobs + Arrow round-trips collapse into one job), while
+    the rendering work stays parallel across partitions — the
+    single-task fused-subtree alternative serializes ~tnp * depth
+    feature emissions (measured 116s vs this pass's one wave at 1M
+    points).
+
+    Output row kinds: RS_RENDER (rendered tile features, with the
+    persisted order keys), RS_LEAF (retained source rows of leaf tiles),
+    RS_CAGG (per-tile (tnp, n_emitted) partials — num_points carries the
+    tile's source-point sum, n_emitted the rendered-emission sum — the
+    driver finishes stats rows from these without another job)."""
+    az, ax, ay = root
+    cz, cx, cy = target
+    max_zoom = options.max_zoom
+
+    def decide(tz: int, tx: int, ty: int) -> str:
+        if tz == max_zoom:
+            return "stop"
+        if tz == cz:
+            return "leaf"
+        m = 1 << (cz - tz)
+        return "split" if (tx == cx // m and ty == cy // m) else "leaf"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        body = _rs_body(options)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            stats: dict = {}  # (z,x,y) -> [tnp_partial, ns_partial]
+            cur = pdf
+            while len(cur):
+                # the frontier holds at most 4 distinct tiles (the
+                # previous path tile's children; the root at entry)
+                tiles = {
+                    (int(tz), int(tx), int(ty))
+                    for tz, tx, ty in cur[["z", "x", "y"]].itertuples(
+                        index=False
+                    )
+                }
+                amap = {t: decide(*t) for t in tiles}
+                cur = cur.reset_index(drop=True)
+                cur["action"] = [
+                    amap[(int(tz), int(tx), int(ty))]
+                    for tz, tx, ty in cur[["z", "x", "y"]].itertuples(
+                        index=False
+                    )
+                ]
+                # tnp partial per tile from its source rows
+                g = cur.groupby(["z", "x", "y"], sort=False)["num_points"].sum()
+                for k, v in g.items():
+                    key = (int(k[0]), int(k[1]), int(k[2]))
+                    stats.setdefault(key, [0, 0])[0] += int(v)
+                # retained leaves out (target tile included; 'stop' tiles
+                # render but retain nothing, matching the level loop)
+                leaf_sel = (cur["action"] == "leaf").to_numpy()
+                if leaf_sel.any():
+                    lv = cur.loc[leaf_sel, TILED_COLS].copy(deep=False)
+                    lv.insert(0, "row_kind", RS_LEAF)
+                    for c in _RS_RENDER_ONLY:
+                        lv[c] = pd.Series(
+                            [None] * len(lv), dtype=object, index=lv.index
+                        )
+                    yield lv[RS_COLS]
+                parts, _cagg = body(cur)
+                nxt = []
+                for part in parts:
+                    rend = part[part["row_kind"] == RS_RENDER]
+                    if len(rend):
+                        # ns partial per tile from the render rows
+                        ns = rend.groupby(["z", "x", "y"], sort=False)[
+                            "n_emitted"
+                        ].sum()
+                        for k, v in ns.items():
+                            key = (int(k[0]), int(k[1]), int(k[2]))
+                            stats.setdefault(key, [0, 0])[1] += int(v)
+                        yield rend[RS_COLS]
+                    ch = part[part["row_kind"] == RS_CHILD]
+                    if len(ch):
+                        nxt.append(ch[TILED_COLS])
+                cur = (
+                    pd.concat(nxt, ignore_index=True)
+                    if nxt
+                    else pd.DataFrame(columns=TILED_COLS)
+                )
+            if stats:
+                yield _rs_cagg_frame(stats)[RS_COLS]
 
     return df.mapInPandas(kernel, schema=RS_SCHEMA)
 

@@ -664,107 +664,52 @@ class CheckpointedPyramid:
         self, out_dir: str, frontier: DataFrame, root: tuple, target: tuple,
         stg_tiles: str, stg_leaves: str, existing: set,
     ) -> None:
-        """Target-directed pyramid levels from the ancestor's retained
-        leaves: non-path tiles stop and retain (lib.rs:324-338), the path
-        tile splits until it fuses or reaches the target.  One fused
-        render+split pass per level; every write is executor-side.  Tiles
-        already in the store (the re-split ancestor; cousins from prior
-        drills) are excluded via a broadcast anti-join on ``existing`` —
-        the caller's index-sized tile-key set (one stats-row scan,
-        _tile_keys)."""
+        """Target-directed descent from the ancestor's retained leaves:
+        non-path tiles stop and retain (lib.rs:324-338), the path tile
+        splits until the target.  The WHOLE descent is ONE feature-
+        parallel pass (drill_descend_stage) — drill decisions are purely
+        structural, so no per-level driver round-trip exists and the
+        former 5-7 sequential level jobs collapse into a single wave;
+        stats rows are finished driver-side from the pass's per-tile
+        partials.  Tiles already in the store (the re-split ancestor;
+        cousins from prior drills) are excluded via a broadcast anti-join
+        on ``existing`` — the caller's index-sized tile-key set (one
+        stats-row scan, _tile_keys)."""
+        from concurrent.futures import ThreadPoolExecutor
+
         from geojson_vt_rs_spark.operators.pipeline import (
             RS_CAGG,
-            RS_CHILD,
+            RS_LEAF,
             RS_RENDER,
-            render_split_stage,
+            drill_descend_stage,
         )
-        from geojson_vt_rs_spark.plans.pyramid import (
-            K_LEAF,
-            K_STATS,
-            K_TILE,
-            STEP_SCHEMA,
-            TILED_COLS,
-            _level_kernel,
-            fuse_bound,
-        )
+        from geojson_vt_rs_spark.plans.pyramid import TILED_COLS
 
         spark = self.spark
         o = self.options
         az, ax, ay = root
         cz, cx, cy = target
-        kernel = _level_kernel(o, cz, cx, cy, force_subtree=True)
-        fuse_max = fuse_bound(o, cz)
         exist_df = F.broadcast(
             spark.createDataFrame(
                 [(a, b, c) for a, b, c in existing] or [(-1, -1, -1)],
                 "z int, x int, y int",
             )
         )
-        tiles_schema = TILE_STORE_DDL
 
-        def _decide(tz, tx, ty, tnp):
-            if tz == o.max_zoom:
-                return "stop"
-            if tz == cz:
-                return "leaf"
-            m = 1 << (cz - tz)
-            if tx != cx // m or ty != cy // m:
-                return "leaf"
-            return "fuse" if tnp <= fuse_max else "split"
+        # the ancestor's leaf rows may sit in one parquet file; spread
+        # them so the descent renders on every core
+        par = spark.sparkContext.defaultParallelism
+        step = drill_descend_stage(
+            frontier.select(*TILED_COLS).repartition(par), o,
+            (az, ax, ay), (cz, cx, cy),
+        ).persist()
 
-        pending_children: list = []
-        prev = None
-        next_np = None  # RS_CAGG partials from the previous level's pass
-        while True:
-            frontier = frontier.persist()
-            if next_np is not None:
-                np_pdf = next_np
-                next_np = None
-            else:
-                np_pdf = (
-                    frontier.groupBy("z", "x", "y")
-                    .agg(F.sum("num_points").alias("tnp"))
-                    .toPandas()
-                )
-                if prev is not None:
-                    prev.unpersist()
-                    prev = None
-            observed = {
-                (int(r.z), int(r.x), int(r.y)) for r in np_pdf.itertuples()
-            }
-            empty_rows = [
-                (ez, ex, ey, -1, None, None, None, None, None, None, None,
-                 0, 0, "drill", None, None, None, None)
-                for ez, ex, ey in pending_children
-                if (ez, ex, ey) not in observed and (ez, ex, ey) not in existing
-            ]
-            if np_pdf.empty:
-                if empty_rows:
-                    spark.createDataFrame(empty_rows, tiles_schema).write.mode(
-                        "append"
-                    ).partitionBy("z").parquet(stg_tiles)
-                if prev is not None:
-                    prev.unpersist()
-                    prev = None
-                frontier.unpersist()
-                return
-            decisions = [
-                (int(r.z), int(r.x), int(r.y),
-                 _decide(int(r.z), int(r.x), int(r.y), int(r.tnp)),
-                 int(r.tnp))
-                for r in np_pdf.itertuples(index=False)
-            ]
-            ddf = spark.createDataFrame(
-                [(tz, tx, ty, a) for tz, tx, ty, a, _ in decisions],
-                "z int, x int, y int, action string",
-            )
-            fr = frontier.join(F.broadcast(ddf), ["z", "x", "y"]).persist()
-
-            step2 = render_split_stage(
-                fr.filter(F.col("action") != "fuse"), o
-            ).localCheckpoint(eager=False)
-            rend = step2.filter(F.col("row_kind") == RS_RENDER)
-            rend.filter(F.col("sub_idx") >= 0).select(
+        # one wave: tile-feature write + leaf write + partials collection
+        # run as concurrent jobs over the cached pass
+        def _write_tiles():
+            step.filter(
+                (F.col("row_kind") == RS_RENDER) & (F.col("sub_idx") >= 0)
+            ).select(
                 "z", "x", "y",
                 F.lit(None).cast("int").alias("feature_idx"),
                 "type", "kind", "geometry_json", "tags_json",
@@ -779,115 +724,60 @@ class CheckpointedPyramid:
                 "append"
             ).partitionBy("z").parquet(stg_tiles)
 
-            # the rend write materialized step2; run the per-tile render
-            # counters and the next level's RS_CAGG partials as concurrent
-            # cached scans (same one-wave shape as run())
-            split_parents = [
-                (tz, tx, ty) for tz, tx, ty, a, _ in decisions if a == "split"
-            ]
+        def _write_leaves():
+            step.filter(F.col("row_kind") == RS_LEAF).join(
+                exist_df, ["z", "x", "y"], "left_anti"
+            ).select(*TILED_COLS).write.mode("append").partitionBy(
+                "z"
+            ).parquet(stg_leaves)
 
-            def _collect_ns():
-                return (
-                    rend.groupBy("z", "x", "y")
-                    .agg(F.sum("n_emitted").alias("ns"))
-                    .toPandas()
-                )
-
-            def _collect_cagg():
-                return (
-                    step2.filter(F.col("row_kind") == RS_CAGG)
-                    .select("z", "x", "y", "num_points")
-                    .toPandas()
-                )
-
-            from concurrent.futures import ThreadPoolExecutor
-
-            with ThreadPoolExecutor(2) as _ex:
-                ns_f = _ex.submit(_collect_ns)
-                cagg_f = _ex.submit(_collect_cagg) if split_parents else None
-                agg = ns_f.result()
-                cagg = cagg_f.result() if cagg_f is not None else None
-            if prev is not None:
-                prev.unpersist()
-                prev = None
-            frontier.unpersist()
-            if cagg is not None:
-                next_np = (
-                    cagg.groupby(["z", "x", "y"], as_index=False)["num_points"]
-                    .sum()
-                    .rename(columns={"num_points": "tnp"})
-                )
-            ns_map = {
-                (int(r.z), int(r.x), int(r.y)): int(r.ns)
-                for r in agg.itertuples(index=False)
-            }
-            stats_rows = empty_rows + [
-                (tz, tx, ty, -1, None, None, None, None, None, None, None,
-                 tnp, ns_map.get((tz, tx, ty), 0), "drill",
-                 None, None, None, None)
-                for tz, tx, ty, a, tnp in decisions
-                if a != "fuse" and (tz, tx, ty) not in existing
-            ]
-            if stats_rows:
-                spark.createDataFrame(stats_rows, tiles_schema).write.mode(
-                    "append"
-                ).partitionBy("z").parquet(stg_tiles)
-
-            if any(a == "fuse" for _, _, _, a, _ in decisions):
-                step = (
-                    fr.filter(F.col("action") == "fuse")
-                    .drop("action")
-                    .groupBy("z", "x", "y")
-                    .applyInPandas(kernel, schema=STEP_SCHEMA)
-                    .join(exist_df, ["z", "x", "y"], "left_anti")
-                    .persist()
-                )
-                is_tile = F.col("row_kind") == K_TILE
-                step.filter(F.col("row_kind").isin(K_TILE, K_STATS)).select(
-                    "z", "x", "y",
-                    F.when(~is_tile, F.col("feature_idx")).alias("feature_idx"),
-                    "type", "kind",
-                    "geometry_json", "tags_json", "tile_id_str",
-                    "tile_id_num", "tile_id_float",
-                    "tile_num_points", "tile_num_simplified",
-                    F.lit("drill").alias("action"),
-                    F.when(is_tile, F.lit(0)).alias("world_copy"),
-                    F.when(is_tile, F.col("feature_idx").cast("long")).alias("feature_seq"),
-                    F.when(is_tile, F.lit("")).alias("slice_path"),
-                    F.when(is_tile, F.lit(0)).alias("sub_idx"),
-                ).write.mode("append").partitionBy("z").parquet(stg_tiles)
-                step.filter(F.col("row_kind") == K_LEAF).select(
-                    *TILED_COLS
-                ).write.mode("append").partitionBy("z").parquet(stg_leaves)
-                step.unpersist()
-
-            if any(a == "leaf" for _, _, _, a, _ in decisions):
-                fr.filter(F.col("action") == "leaf").join(
-                    exist_df, ["z", "x", "y"], "left_anti"
-                ).select(*TILED_COLS).write.mode("append").partitionBy(
-                    "z"
-                ).parquet(stg_leaves)
-
-            fr.unpersist()
-            if not split_parents:
-                step2.unpersist()
-                return
-            pending_children = [
-                (tz + 1, 2 * tx + dx, 2 * ty + dy)
-                for tz, tx, ty in split_parents
-                for dx in (0, 1)
-                for dy in (0, 1)
-            ]
-            frontier = step2.filter(F.col("row_kind") == RS_CHILD).select(
-                *TILED_COLS
+        def _collect_stats():
+            return (
+                step.filter(F.col("row_kind") == RS_CAGG)
+                .select("z", "x", "y", "num_points", "n_emitted")
+                .toPandas()
             )
-            if cagg is not None and not cagg.empty:
-                # child num_points sum is a row-count upper bound — good
-                # enough to size partitions for the shrinking drill path
-                frontier = frontier.coalesce(
-                    _frontier_parts(int(cagg["num_points"].sum()), spark)
-                )
-            prev = step2
+
+        with ThreadPoolExecutor(3) as ex:
+            tf = ex.submit(_write_tiles)
+            lf = ex.submit(_write_leaves)
+            sf = ex.submit(_collect_stats)
+            tf.result()
+            lf.result()
+            partials = sf.result()
+        step.unpersist()
+
+        # finish the per-tile (tnp, ns) stats from the partials; then
+        # walk the path driver-side to find the memoized-empty children
+        # (split children that received no features), matching the level
+        # loop's pending_children semantics
+        agg: dict = {}
+        for r in partials.itertuples(index=False):
+            key = (int(r.z), int(r.x), int(r.y))
+            old = agg.get(key, (0, 0))
+            agg[key] = (old[0] + int(r.num_points), old[1] + int(r.n_emitted))
+        stats_rows = [
+            (tz, tx, ty, -1, None, None, None, None, None, None, None,
+             tnp, ns, "drill", None, None, None, None)
+            for (tz, tx, ty), (tnp, ns) in agg.items()
+            if (tz, tx, ty) not in existing
+        ]
+        pz, px, py = az, ax, ay
+        while pz < cz and pz < o.max_zoom and agg.get((pz, px, py), (0,))[0] > 0:
+            for dx in (0, 1):
+                for dy in (0, 1):
+                    ch = (pz + 1, 2 * px + dx, 2 * py + dy)
+                    if ch not in agg and ch not in existing:
+                        stats_rows.append(
+                            ch + (-1, None, None, None, None, None, None,
+                                  None, 0, 0, "drill", None, None, None, None)
+                        )
+            m = 1 << (cz - (pz + 1))
+            pz, px, py = pz + 1, cx // m, cy // m
+        if stats_rows:
+            spark.createDataFrame(stats_rows, TILE_STORE_DDL).write.mode(
+                "append"
+            ).partitionBy("z").parquet(stg_tiles)
 
 
 def checkpointed_mosaic(

@@ -138,7 +138,9 @@ def fuse_bound(options: Options, cz: int) -> int:
     task.  Serial subtree work ~ tnp * depth, and depth grows while
     children stay above index_max_points, so first-pass tiling caps at
     max(index_max_points, 8192); drill-down descends a single path and
-    gets the full budget."""
+    gets the full budget.  (CheckpointedPyramid drills no longer fuse at
+    all — drill_descend_stage walks every level in one feature-parallel
+    pass; this bound still serves the in-memory index's drills.)"""
     fm = getattr(options, "fuse_max_points", 0)
     if cz == 0:
         return min(fm, max(options.index_max_points, 8192))
