@@ -15,8 +15,10 @@ hash-uniform keys.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 # ---------------------------------------------------------------- MinHash
 
@@ -254,12 +256,87 @@ def _simhash_bit_terms(bits: int, hs: str, size_expr: str, spark: bool) -> list:
     return terms
 
 
-def with_simhash(docs: DataFrame) -> DataFrame:
+def _batch_token_hashes(text, cache: dict):
+    """(h64, lo32) int64 arrays of the doc's whitespace tokens — the
+    batch twin of _spark_word_hash64 / the winnow lo-32 hash, one md5
+    per DISTINCT token via the per-batch cache (something the JVM
+    expression path cannot do)."""
+    import hashlib
+
+    tokens = text.split() if isinstance(text, str) else []
+    h64 = np.empty(len(tokens), dtype=np.int64)
+    lo32 = np.empty(len(tokens), dtype=np.int64)
+    for i, w in enumerate(tokens):
+        v = cache.get(w)
+        if v is None:
+            hx = hashlib.md5(w.encode("utf-8")).hexdigest()
+            lo = int(hx[:8], 16)
+            hi = int(hx[8:16], 16)
+            v = (
+                ((hi - (4294967296 if hi >= 2147483648 else 0)) << 32) + lo,
+                lo,
+            )
+            cache[w] = v
+        h64[i] = v[0]
+        lo32[i] = v[1]
+    return h64, lo32
+
+
+def _simhash_batch(h64: np.ndarray) -> int:
+    """Exact majority-vote fold of _simhash_bit_terms, vectorized: the
+    64 interpreted per-bit HOF folds (~1-10us/element each) become two
+    numpy passes over the token-hash array."""
+    n = len(h64)
+    if n == 0:
+        return 0
+    # little-endian uint8 view + bitorder='little' puts column j at bit
+    # j of the int64; unpackbits is ~8x lighter than a 64-wide int64
+    # shift matrix (uint8 vs int64 intermediate)
+    u8 = np.ascontiguousarray(h64.astype("<u8")).view(np.uint8).reshape(n, 8)
+    cnt = np.unpackbits(u8, axis=1, bitorder="little").sum(
+        axis=0, dtype=np.int64
+    )
+    uval = 0
+    for j in np.nonzero(2 * cnt > n)[0]:
+        uval |= 1 << int(j)
+    return uval - (1 << 64) if uval >= (1 << 63) else uval
+
+
+def with_simhash(docs: DataFrame, impl: str = "expr") -> DataFrame:
     """64-bit SimHash over whitespace tokens: bit j set when more than half
     the tokens have bit j of their (single, materialized) md5 hash set.
-    The token-hash array is computed ONCE into a column, then the 64 bit
-    counts fold over it — Catalyst does no CSE across HOF lambdas, so
-    in-lining the hash per bit would rerun md5 64x per token."""
+
+    ``impl="expr"`` (default, the DuckDB-oracle path) folds the 64 bit
+    counts over a once-materialized hash-array column — Catalyst does no
+    CSE across HOF lambdas, so in-lining the hash per bit would rerun
+    md5 64x per token.  ``impl="batch"`` is the byte-identical numpy
+    mapInPandas kernel: interpreted HOF lambdas cost ~1-10us/element, so
+    the expr path caps at short documents; the batch kernel vectorizes
+    the bit folds and hashes each DISTINCT token once (long-document /
+    100KB+ scale path; equality asserted by tests on a long-doc corpus).
+    """
+    if impl == "batch":
+        out_schema = T.StructType(
+            list(docs.schema.fields)
+            + [T.StructField("simhash", T.LongType())]
+        )
+
+        def kernel(batches):
+            cache: dict = {}
+            for pdf in batches:
+                pdf = pdf.copy(deep=False)
+                pdf["simhash"] = np.array(
+                    [
+                        _simhash_batch(_batch_token_hashes(t, cache)[0])
+                        for t in pdf["text"]
+                    ],
+                    dtype=np.int64,
+                )
+                yield pdf
+
+        return docs.mapInPandas(kernel, schema=out_schema)
+    if impl != "expr":
+        raise ValueError(f"unknown impl: {impl!r}")
     words = "filter(split(trim(text), '\\\\s+'), w -> length(w) > 0)"
     hs = f"transform({words}, w -> {_spark_word_hash64()})"
     d = docs.withColumn("__hs", F.expr(hs))
@@ -460,8 +537,42 @@ WINNOW_B = 1009  # polynomial base: 2^32 * B^(K-1) < 2^63 -> no overflow
 WINNOW_M = 2147483647  # modulus 2^31 - 1; every term is nonnegative
 
 
-def with_winnow_fingerprints(docs: DataFrame) -> DataFrame:
+def _winnow_batch(lo32: np.ndarray) -> np.ndarray:
+    """Byte-identical numpy twin of the with_winnow_fingerprints
+    slice/zip_with chain: step-wise % M polynomial grams, pairwise-min
+    window minima, sorted distinct.  Values stay within int64 at every
+    step (th < 2^32, B = 1009: th*B < 2^42; (M-1)*B + th < 2^42)."""
+    B, M = WINNOW_B, WINNOW_M
+    a = lo32
+    n = len(a)
+    if n == 0:
+        return np.zeros(1, dtype=np.int64)
+    if n == 1:
+        return (a[:1] % M).astype(np.int64)
+    if n == 2:
+        return np.array([(int(a[0]) * B + int(a[1])) % M], dtype=np.int64)
+    if n == 3:
+        return np.array(
+            [(int(a[0]) * B * B + int(a[1]) * B + int(a[2])) % M],
+            dtype=np.int64,
+        )
+    p2 = (a[:-1] * B + a[1:]) % M
+    p3 = (p2[: n - 2] * B + a[2:]) % M
+    g = (p3[: n - 3] * B + a[3:]) % M
+    if n < 7:
+        return np.array([g.min()], dtype=np.int64)
+    w2 = np.minimum(g[:-1], g[1:])
+    return np.unique(np.minimum(w2[:-2], w2[2:])).astype(np.int64)
+
+
+def with_winnow_fingerprints(docs: DataFrame, impl: str = "expr") -> DataFrame:
     """Adds ``fingerprints`` (sorted distinct array<bigint>).
+
+    ``impl="batch"`` runs the byte-identical numpy mapInPandas kernel
+    (_winnow_batch) instead of the JVM expression chain — the scale path
+    for long documents, where the interpreted HOF rolling-hash folds
+    (~1-10us/element) dominate; the expr path stays the default because
+    it is the DuckDB-oracle-checkable twin.
 
     Grams and window minima are built from whole-array ``slice`` +
     ``zip_with`` chains, NEVER ``element_at(col, i)`` inside a
@@ -473,6 +584,30 @@ def with_winnow_fingerprints(docs: DataFrame) -> DataFrame:
     how the optimizer collapses projections, and the step-wise ``% M``
     equals the flat polynomial mod M exactly (integer identity).  All
     slices are CASE-guarded in bounds, so the plan is ANSI-mode safe."""
+    if impl == "batch":
+        out_schema = T.StructType(
+            list(docs.schema.fields)
+            + [T.StructField("fingerprints", T.ArrayType(T.LongType()))]
+        )
+
+        def kernel(batches):
+            cache: dict = {}
+            for pdf in batches:
+                pdf = pdf.copy(deep=False)
+                pdf["fingerprints"] = [
+                    _winnow_batch(_batch_token_hashes(t, cache)[1])
+                    for t in pdf["text"]
+                ]
+                yield pdf
+
+        # same parallelism boundary as the expr path (spreads a
+        # single-file toy input across cores; the dedup join shuffles
+        # anyway)
+        return docs.repartition(F.col("doc_id")).mapInPandas(
+            kernel, schema=out_schema
+        )
+    if impl != "expr":
+        raise ValueError(f"unknown impl: {impl!r}")
     B, M = WINNOW_B, WINNOW_M
     B2 = B * B
     toks = "filter(split(trim(text), '\\\\s+'), w -> length(w) > 0)"

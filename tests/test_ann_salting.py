@@ -195,6 +195,66 @@ def test_winnow_guarantee_and_edges(spark):
     assert all(p[0] < p[1] for p in got)
 
 
+def test_batch_hash_kernels_match_expr(spark):
+    """The numpy mapInPandas twins of the simhash / winnow JVM expression
+    chains must be BYTE-IDENTICAL on a corpus spanning every length
+    branch (0..8 tokens) plus long documents (5k-40k tokens) where the
+    interpreted HOF folds are the expr path's known ceiling."""
+    import random
+
+    from geojson_vt_rs_spark.operators.text_dedup import (
+        with_simhash,
+        with_winnow_fingerprints,
+    )
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(500)] + ["the", "a", "x,y", "Émile"]
+
+    def doc(n):
+        return " ".join(rng.choice(vocab) for _ in range(n))
+
+    texts = [doc(n) for n in range(0, 9)]  # every small-n CASE branch
+    texts += ["", "  ", "\t\n  foo\tbar\nbaz  "]  # whitespace edge cases
+    long_docs = [doc(n) for n in (5000, 12000, 40000)]
+    # a shared 200-token run across two long docs (winnowing guarantee)
+    shared = doc(200)
+    long_docs.append(long_docs[0][:1000] + " " + shared + " " + doc(3000))
+    long_docs.append(doc(2500) + " " + shared)
+    texts += long_docs
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+    sim_e = {
+        r.doc_id: r.simhash
+        for r in with_simhash(docs).select("doc_id", "simhash").collect()
+    }
+    sim_b = {
+        r.doc_id: r.simhash
+        for r in with_simhash(docs, impl="batch")
+        .select("doc_id", "simhash")
+        .collect()
+    }
+    assert sim_e == sim_b
+
+    fp_e = {
+        r.doc_id: list(r.fingerprints)
+        for r in with_winnow_fingerprints(docs)
+        .select("doc_id", "fingerprints")
+        .collect()
+    }
+    fp_b = {
+        r.doc_id: list(r.fingerprints)
+        for r in with_winnow_fingerprints(docs, impl="batch")
+        .select("doc_id", "fingerprints")
+        .collect()
+    }
+    assert fp_e == fp_b
+    # the shared run produced at least one common fingerprint
+    a, b = len(texts) - 2, len(texts) - 1
+    assert set(fp_b[a]) & set(fp_b[b])
+
+
 def test_dedup_clusters_crafted_graph(spark):
     """Min-label propagation on a crafted graph: a 3-chain, a pair, and
     an isolated node resolve to the expected components; canonical set
