@@ -453,6 +453,32 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(docs)
 
 
+def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same components, SCALE algorithm: alternating large-star/small-star
+    edge rewiring (Kiveris et al., SoCC'14) — O(log^2 n) rounds on
+    long-chain graphs where plain propagation needs O(diameter).  Labels
+    are identical to the label-propagation path by construction, so the
+    same recursive-CTE oracle value-checks this iterative variant too."""
+    from geojson_vt_rs_spark.operators.components import dedup_clusters
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup_clusters(docs, algorithm="star")
+
+
+def q_winnow_fingerprints_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The numpy mapInPandas twin of winnow_fingerprints (impl="batch"):
+    one md5 per distinct token + vectorized rolling-hash folds — the
+    long-document scale path (3.8-4.8x on ~100KB docs, BENCH.md).  Output
+    is byte-identical to the JVM expression chain, so the SAME DuckDB
+    oracle value-checks the kernel."""
+    from geojson_vt_rs_spark.operators.text_dedup import (
+        winnow_fingerprint_rows,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return winnow_fingerprint_rows(docs, impl="batch")
+
+
 def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup pipeline's kept set: one row per near-dup cluster with
     its size; canonical doc = the one whose doc_id == cluster_id."""
@@ -1002,6 +1028,8 @@ def _raw_queries() -> dict:
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_pairs": q_winnow_pairs,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_clusters_star": q_dedup_clusters_star,
+        "winnow_fingerprints_batch": q_winnow_fingerprints_batch,
         "dedup_canonical": q_dedup_canonical,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_topk": q_ann_topk,
@@ -1046,6 +1074,8 @@ def oracle_sql() -> dict[str, str]:
         "winnow_fingerprints": duck_winnow_sql(),
         "winnow_pairs": duck_winnow_pairs_sql(),
         "dedup_clusters": _sql_dedup_clusters(),
+        "dedup_clusters_star": _sql_dedup_clusters(),
+        "winnow_fingerprints_batch": duck_winnow_sql(),
         "dedup_canonical": _sql_dedup_canonical(),
         "ngram_jaccard": duck_ngram_jaccard_sql(),
         "ann_topk": _sql_ann_topk(20),

@@ -83,6 +83,36 @@ def convert_stage(df: DataFrame, tolerance: float, generate_id: bool) -> DataFra
     return df.mapInPandas(kernel, schema=FEATURE_SCHEMA)
 
 
+def convert_wrap_stage(
+    df: DataFrame,
+    tolerance: float,
+    generate_id: bool,
+    buffer: float,
+    line_metrics: bool,
+) -> DataFrame:
+    """convert_stage + wrap_stage FUSED into one mapInPandas pass: both
+    are per-feature, so composing them in-kernel halves the Arrow
+    round-trips of the pipeline head (the wide feature arrays otherwise
+    cross JVM<->Python twice back-to-back).  Output is identical to
+    wrap_stage(convert_stage(df, ...), ...)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: List[dict] = []
+            for f in pdf_to_features(pdf):
+                if generate_id:
+                    f.id_str = None
+                    f.id_num = f.feature_seq
+                    f.id_float = None
+                c = convert_feature(f, tolerance)
+                if c is not None:
+                    for g in core_wrap([c], buffer, line_metrics):
+                        out.append(feature_to_row(g))
+            yield pd.DataFrame(out, columns=FEATURE_COLS)
+
+    return df.mapInPandas(kernel, schema=FEATURE_SCHEMA)
+
+
 def wrap_stage(df: DataFrame, buffer: float, line_metrics: bool) -> DataFrame:
     """Antimeridian wrap (wrap.rs:19-43) as a single narrow pass.
 

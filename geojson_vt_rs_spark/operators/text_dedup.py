@@ -669,7 +669,7 @@ def with_winnow_fingerprints(docs: DataFrame, impl: str = "expr") -> DataFrame:
     ).drop("__th", "__n")
 
 
-def winnow_fingerprint_rows(docs: DataFrame) -> DataFrame:
+def winnow_fingerprint_rows(docs: DataFrame, impl: str = "expr") -> DataFrame:
     """(doc_id, fp) rows — each doc's distinct winnowed fingerprints.
 
     explode_outer, NOT explode: a plain explode makes Catalyst infer a
@@ -681,7 +681,7 @@ def winnow_fingerprint_rows(docs: DataFrame) -> DataFrame:
     for null-text rows and cannot be pushed below the Generate (it
     references the generated column)."""
     return (
-        with_winnow_fingerprints(docs)
+        with_winnow_fingerprints(docs, impl=impl)
         .select("doc_id", F.explode_outer("fingerprints").alias("fp"))
         .filter(F.col("fp").isNotNull())
     )

@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from geojson_vt_rs_spark.config import Options
-from geojson_vt_rs_spark.operators.pipeline import convert_stage, wrap_stage
+from geojson_vt_rs_spark.operators.pipeline import convert_wrap_stage
 from geojson_vt_rs_spark.operators.schema import (
     TILE_STORE_DDL,
     TILED_FEATURE_SCHEMA,
@@ -212,13 +212,12 @@ class CheckpointedPyramid:
                 )
         else:
             z2 = 1 << o.max_zoom
-            converted = convert_stage(
+            wrapped = convert_wrap_stage(
                 features_df,
                 (o.tile.tolerance / o.tile.extent) / z2,
                 o.generate_id,
-            )
-            wrapped = wrap_stage(
-                converted, o.tile.buffer / o.tile.extent, o.tile.line_metrics
+                o.tile.buffer / o.tile.extent,
+                o.tile.line_metrics,
             )
             frontier = wrapped.select(
                 F.lit(0).alias("z"), F.lit(0).alias("x"), F.lit(0).alias("y"), "*"

@@ -44,7 +44,7 @@ from geojson_vt_rs_spark.config import Options
 from geojson_vt_rs_spark.core.clip import clip_feature
 from geojson_vt_rs_spark.core.tile import TileEmitter
 from geojson_vt_rs_spark.core.tiler import to_id
-from geojson_vt_rs_spark.operators.pipeline import convert_stage, wrap_stage
+from geojson_vt_rs_spark.operators.pipeline import convert_wrap_stage
 from geojson_vt_rs_spark.operators.schema import (
     FEATURE_FIELDS,
     TILED_FEATURE_SCHEMA,
@@ -318,11 +318,12 @@ class SparkGeoJSONVT:
             return
 
         z2 = 1 << o.max_zoom
-        converted = convert_stage(
-            features_df, (o.tile.tolerance / o.tile.extent) / z2, o.generate_id
-        )
-        wrapped = wrap_stage(
-            converted, o.tile.buffer / o.tile.extent, o.tile.line_metrics
+        wrapped = convert_wrap_stage(
+            features_df,
+            (o.tile.tolerance / o.tile.extent) / z2,
+            o.generate_id,
+            o.tile.buffer / o.tile.extent,
+            o.tile.line_metrics,
         )
         frontier = wrapped.select(
             F.lit(0).alias("z"), F.lit(0).alias("x"), F.lit(0).alias("y"), "*"

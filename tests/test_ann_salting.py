@@ -221,6 +221,7 @@ def test_batch_hash_kernels_match_expr(spark):
     long_docs.append(long_docs[0][:1000] + " " + shared + " " + doc(3000))
     long_docs.append(doc(2500) + " " + shared)
     texts += long_docs
+    texts.append(None)  # null text row: both paths must agree
     docs = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
     )
@@ -251,7 +252,7 @@ def test_batch_hash_kernels_match_expr(spark):
     }
     assert fp_e == fp_b
     # the shared run produced at least one common fingerprint
-    a, b = len(texts) - 2, len(texts) - 1
+    a, b = len(texts) - 3, len(texts) - 2  # the two planted-run docs
     assert set(fp_b[a]) & set(fp_b[b])
 
 

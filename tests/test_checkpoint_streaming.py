@@ -470,6 +470,56 @@ def test_iceberg_sink_gating(spark, tmp_path):
     assert s2["total_tiles"] == s1["total_tiles"]
 
 
+def test_iceberg_sink_snapshot_branch(spark, tmp_path, monkeypatch):
+    """Execute the SNAPSHOT-COMMIT branch of the Iceberg sink (absent
+    pyiceberg normally leaves it untested) against a faithful API double
+    whose catalog state is durable on disk: full run commits one
+    snapshot per level with the manifest in table properties; wiping the
+    JSON manifest cache must resume purely from the snapshot log; an
+    all-empty commit_level call (zero parquet files, no table yet) must
+    create the table from the engine schema instead of crashing."""
+    from geojson_vt_rs_spark.plans import iceberg_sink
+
+    if iceberg_sink.iceberg_available():
+        pytest.skip("real pyiceberg present; gating test covers it")
+    import fake_pyiceberg
+
+    fake_pyiceberg.install(monkeypatch)
+    assert iceberg_sink.iceberg_available()
+
+    out = str(tmp_path / "pyr_ibs")
+    feats = read_geojson_features(
+        spark, "/root/reference/fixtures/us-states.json"
+    )
+    opts = Options(max_zoom=14, index_max_zoom=3, index_max_points=200)
+    cp = CheckpointedPyramid(spark, opts, iceberg=True)
+    s1 = cp.run(feats, out)
+    assert s1["total_tiles"] == 17
+
+    # snapshots carry the level manifests in table properties
+    sink = cp._sink(out)
+    for lvl in range(s1["levels"]):
+        m = sink.read_manifest("tiles", lvl)
+        assert m is not None and m["level"] == lvl
+
+    # wipe the JSON manifest cache: resume must re-derive every level
+    # from the snapshot log (no recompute -> same totals, cache restored)
+    shutil.rmtree(os.path.join(out, "_manifests"))
+    s2 = CheckpointedPyramid(spark, opts, iceberg=True).run(feats, out)
+    assert s2["total_tiles"] == s1["total_tiles"]
+    assert s2["levels"] == s1["levels"]
+    assert os.path.isdir(os.path.join(out, "_manifests"))
+
+    # all-empty level commit on a fresh store: engine-schema fallback
+    from geojson_vt_rs_spark.plans.iceberg_sink import IcebergTileSink
+
+    empty_store = str(tmp_path / "pyr_ib_empty")
+    os.makedirs(empty_store)
+    sink2 = IcebergTileSink(empty_store)
+    sink2.commit_level("tiles", "", dict(level=0, n_tiles=0))
+    assert sink2.read_manifest("tiles", 0) == {"level": 0, "n_tiles": 0}
+
+
 def test_multi_drill_divergent_targets(spark, tmp_path):
     """Two drills whose paths share a prefix then diverge: every drilled
     tile matches the in-memory tiler, and cousin tiles created by the
