@@ -9,7 +9,12 @@ Stages: synthesize (or read) the image+caption table -> deterministic
 geo-footprints -> quad-cell assignment -> PIP join vs clipped tile
 polygons -> kNN(3) to neighbor tiles -> checkpointed raster mosaic with
 per-bucket lineage manifests.  Re-running with the same --out resumes
-from completed buckets.  Prints a one-line JSON metrics summary.
+from completed buckets.  With --tile-store, the run ALSO builds the
+vector-tile pyramid of --geojson through CheckpointedPyramid (per-level
+exactly-once parquet commits with lineage manifests) and reports its
+tile totals — re-runs resume from the first uncommitted level, and a
+--drill Z,X,Y exercises a get_tile through the store.  Prints a
+one-line JSON metrics summary.
 """
 
 from __future__ import annotations
@@ -32,6 +37,12 @@ def main() -> None:
     ap.add_argument("--images-parquet", default=None,
                     help="read an existing images table instead of synthesizing")
     ap.add_argument("--buckets", type=int, default=8)
+    ap.add_argument("--tile-store", action="store_true",
+                    help="also build the --geojson vector-tile pyramid "
+                         "through the checkpointed parquet store")
+    ap.add_argument("--drill", default=None, metavar="Z,X,Y",
+                    help="with --tile-store: get_tile through the store "
+                         "(memo hit or one-pass drill-down on miss)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -81,20 +92,40 @@ def main() -> None:
         pts, args.zoom, os.path.join(args.out, "mosaic"), n_buckets=args.buckets
     )
 
-    dt = time.time() - t0
-    print(
-        json.dumps(
-            dict(
-                rows=n_rows,
-                pip_rows=n_pip,
-                knn_rows=n_knn,
-                mosaic_tiles=mosaic_summary["n_tiles"],
-                mosaic_buckets=mosaic_summary["buckets"],
-                wall_sec=round(dt, 3),
-                rows_per_sec=round(n_rows / dt, 1),
-            )
-        )
+    metrics = dict(
+        rows=n_rows,
+        pip_rows=n_pip,
+        knn_rows=n_knn,
+        mosaic_tiles=mosaic_summary["n_tiles"],
+        mosaic_buckets=mosaic_summary["buckets"],
     )
+
+    if args.tile_store:
+        from geojson_vt_rs_spark.config import Options
+        from geojson_vt_rs_spark.operators.pipeline import (
+            read_geojson_features,
+        )
+        from geojson_vt_rs_spark.plans.checkpoint import CheckpointedPyramid
+
+        store_dir = os.path.join(args.out, "tile_store")
+        cp = CheckpointedPyramid(
+            spark, Options(max_zoom=14, index_max_zoom=7, index_max_points=200)
+        )
+        s = cp.run(read_geojson_features(spark, args.geojson), store_dir)
+        metrics.update(
+            tile_store_levels=s["levels"],
+            tile_store_tiles=s["total_tiles"],
+            tile_store_rows=s["total_tile_rows"],
+        )
+        if args.drill:
+            dz, dx, dy = (int(v) for v in args.drill.split(","))
+            metrics["drill_features"] = cp.get_tile(
+                store_dir, dz, dx, dy
+            ).count()
+
+    dt = time.time() - t0
+    metrics.update(wall_sec=round(dt, 3), rows_per_sec=round(n_rows / dt, 1))
+    print(json.dumps(metrics))
     spark.stop()
 
 
