@@ -420,14 +420,16 @@ def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MOSS-style winnowing fingerprints (rolling K-token-gram polynomial
     hashes, min per sliding window of W grams — Schleimer et al. SIGMOD'03):
-    one (doc_id, fp) row per distinct selected fingerprint.  Pure JVM SQL
-    (slice/zip_with chains); DuckDB twin is the literal same integer math."""
+    one (doc_id, fp) row per distinct selected fingerprint.  Pinned to the
+    pure JVM SQL path (slice/zip_with chains; the DuckDB twin is the
+    literal same integer math) — the numpy batch kernel is the separate
+    winnow_fingerprints_batch query."""
     from geojson_vt_rs_spark.operators.text_dedup import (
         winnow_fingerprint_rows,
     )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return winnow_fingerprint_rows(docs)
+    return winnow_fingerprint_rows(docs, impl="expr")
 
 
 def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -16,6 +16,7 @@ hash-uniform keys.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -57,10 +58,67 @@ def _duck_minhash_over(hx: str, p: int) -> str:
     return f"list_min(list_transform({hx}, h -> {v}))"
 
 
-def with_minhashes(docs: DataFrame) -> DataFrame:
-    """doc_id + the 8 minhashes as ONE array column.  The two shingle
-    md5 arrays are materialized into their own columns first; each
-    minhash is then a cheap fold over one of them."""
+def _minhash_batch(text, cache: dict):
+    """Byte-identical numpy twin of the with_minhashes expression: same
+    5-gram-every-3-chars shingles, same two md5s per shingle, same four
+    32-bit hex slices per md5, per-permutation min.  One md5 pair per
+    DISTINCT shingle via the per-batch cache."""
+    import hashlib
+
+    if not isinstance(text, str):
+        return [None] * N_PERM
+    rows = []
+    for i in range(0, max(len(text) - 4, 1), 3):
+        s = text[i : i + 5]
+        v = cache.get(s)
+        if v is None:
+            h1 = hashlib.md5(s.encode("utf-8")).hexdigest()
+            h2 = hashlib.md5(("x" + s).encode("utf-8")).hexdigest()
+            v = tuple(
+                int(h[8 * k : 8 * k + 8], 16)
+                for h in (h1, h2)
+                for k in range(4)
+            )
+            cache[s] = v
+        rows.append(v)
+    return [int(m) for m in np.asarray(rows, dtype=np.int64).min(axis=0)]
+
+
+def with_minhashes(docs: DataFrame, impl: str = "batch") -> DataFrame:
+    """doc_id + the 8 minhashes as ONE array column.
+
+    ``impl="batch"`` (default): numpy mapInPandas kernel — one md5 pair
+    per DISTINCT shingle and a single vectorized min, ~3x the expression
+    path on the oracle corpus (the 8 interpreted substr/conv folds over
+    hex-string arrays are the expr path's cost).  ``impl="expr"`` is the
+    pure-JVM original: the two shingle md5 arrays materialize into their
+    own columns, each minhash folds over one of them.  Outputs are
+    byte-identical (asserted by tests), so the DuckDB oracles check
+    either path — with the batch default they are a genuinely
+    independent implementation of the same math."""
+    if impl == "batch":
+        out_schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("mhs", T.ArrayType(T.LongType())),
+            ]
+        )
+
+        def kernel(batches):
+            cache: dict = {}
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "mhs": [
+                            _minhash_batch(t, cache) for t in pdf["text"]
+                        ],
+                    }
+                )
+
+        return docs.mapInPandas(kernel, schema=out_schema)
+    if impl != "expr":
+        raise ValueError(f"unknown impl: {impl!r}")
     d = docs.withColumn(
         "__hx", F.expr(f"transform({_spark_shingles()}, s -> md5(s))")
     ).withColumn(
@@ -302,18 +360,20 @@ def _simhash_batch(h64: np.ndarray) -> int:
     return uval - (1 << 64) if uval >= (1 << 63) else uval
 
 
-def with_simhash(docs: DataFrame, impl: str = "expr") -> DataFrame:
+def with_simhash(docs: DataFrame, impl: str = "batch") -> DataFrame:
     """64-bit SimHash over whitespace tokens: bit j set when more than half
     the tokens have bit j of their (single, materialized) md5 hash set.
 
-    ``impl="expr"`` (default, the DuckDB-oracle path) folds the 64 bit
-    counts over a once-materialized hash-array column — Catalyst does no
-    CSE across HOF lambdas, so in-lining the hash per bit would rerun
-    md5 64x per token.  ``impl="batch"`` is the byte-identical numpy
-    mapInPandas kernel: interpreted HOF lambdas cost ~1-10us/element, so
-    the expr path caps at short documents; the batch kernel vectorizes
-    the bit folds and hashes each DISTINCT token once (long-document /
-    100KB+ scale path; equality asserted by tests on a long-doc corpus).
+    ``impl="batch"`` (default): numpy mapInPandas kernel — unpackbits
+    bit counts + one md5 per DISTINCT token; 4-8x the expression path on
+    the oracle corpus.  ``impl="expr"`` is the pure-JVM original (folds
+    the 64 bit counts over a once-materialized hash-array column —
+    Catalyst does no CSE across HOF lambdas, so in-lining the hash per
+    bit would rerun md5 64x per token); it edges the batch kernel only
+    on extremely repetitive long documents (~15k tokens drawn from a
+    2k-token vocabulary, BENCH.md), where the batch kernel's per-token
+    Python cache loop dominates.  Outputs are byte-identical (asserted
+    by tests incl. null text), so the DuckDB oracle checks either path.
     """
     if impl == "batch":
         out_schema = T.StructType(
@@ -565,14 +625,15 @@ def _winnow_batch(lo32: np.ndarray) -> np.ndarray:
     return np.unique(np.minimum(w2[:-2], w2[2:])).astype(np.int64)
 
 
-def with_winnow_fingerprints(docs: DataFrame, impl: str = "expr") -> DataFrame:
+def with_winnow_fingerprints(docs: DataFrame, impl: str = "batch") -> DataFrame:
     """Adds ``fingerprints`` (sorted distinct array<bigint>).
 
-    ``impl="batch"`` runs the byte-identical numpy mapInPandas kernel
-    (_winnow_batch) instead of the JVM expression chain — the scale path
-    for long documents, where the interpreted HOF rolling-hash folds
-    (~1-10us/element) dominate; the expr path stays the default because
-    it is the DuckDB-oracle-checkable twin.
+    ``impl="batch"`` (default) runs the byte-identical numpy
+    mapInPandas kernel (_winnow_batch) — one md5 per DISTINCT token +
+    vectorized rolling folds, 3-6x the JVM expression chain on both the
+    oracle corpus and ~100KB documents.  ``impl="expr"`` keeps the pure
+    JVM slice/zip_with chain (the formulation the DuckDB oracle SQL
+    mirrors literally); outputs are byte-identical either way.
 
     Grams and window minima are built from whole-array ``slice`` +
     ``zip_with`` chains, NEVER ``element_at(col, i)`` inside a
@@ -669,7 +730,7 @@ def with_winnow_fingerprints(docs: DataFrame, impl: str = "expr") -> DataFrame:
     ).drop("__th", "__n")
 
 
-def winnow_fingerprint_rows(docs: DataFrame, impl: str = "expr") -> DataFrame:
+def winnow_fingerprint_rows(docs: DataFrame, impl: str = "batch") -> DataFrame:
     """(doc_id, fp) rows — each doc's distinct winnowed fingerprints.
 
     explode_outer, NOT explode: a plain explode makes Catalyst infer a

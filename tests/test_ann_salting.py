@@ -228,7 +228,9 @@ def test_batch_hash_kernels_match_expr(spark):
 
     sim_e = {
         r.doc_id: r.simhash
-        for r in with_simhash(docs).select("doc_id", "simhash").collect()
+        for r in with_simhash(docs, impl="expr")
+        .select("doc_id", "simhash")
+        .collect()
     }
     sim_b = {
         r.doc_id: r.simhash
@@ -238,9 +240,21 @@ def test_batch_hash_kernels_match_expr(spark):
     }
     assert sim_e == sim_b
 
+    from geojson_vt_rs_spark.operators.text_dedup import with_minhashes
+
+    mh_e = {
+        r.doc_id: list(r.mhs)
+        for r in with_minhashes(docs, impl="expr").collect()
+    }
+    mh_b = {
+        r.doc_id: list(r.mhs)
+        for r in with_minhashes(docs, impl="batch").collect()
+    }
+    assert mh_e == mh_b
+
     fp_e = {
         r.doc_id: list(r.fingerprints)
-        for r in with_winnow_fingerprints(docs)
+        for r in with_winnow_fingerprints(docs, impl="expr")
         .select("doc_id", "fingerprints")
         .collect()
     }
