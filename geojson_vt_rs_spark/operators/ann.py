@@ -76,14 +76,51 @@ def _dot_sql(vec_expr: str, const_col: str) -> str:
 def with_lsh_bucket(
     emb: DataFrame, dim: int, bits: int = 8, seed: int = 42,
     vec_col: str = "embedding", out: str = "bucket",
+    impl: str = "expr",
 ) -> DataFrame:
     """Add the random-hyperplane sign-bucket id.
 
-    Pure JVM SQL expressions (whole-stage codegen, no Python worker): one
-    sequential-fold dot per bit against an inlined hyperplane constant
-    array — the exact same fold DuckDB's list_sum performs, so the bucket
-    ids are oracle-checkable byte-for-byte (duck_lsh_bucket_expr)."""
+    ``impl="expr"`` (default): pure JVM SQL expressions (whole-stage
+    codegen, no Python worker): one sequential-fold dot per bit against
+    an inlined hyperplane constant array — the exact same fold DuckDB's
+    list_sum performs, so the bucket ids are oracle-checkable
+    byte-for-byte (duck_lsh_bucket_expr).  ``impl="batch"`` is the
+    bit-identical numpy kernel: it loops over DIMS and vectorizes over
+    ROWS, so each row's accumulator passes through the same sequence of
+    float64 additions as the scalar fold (np.dot would reorder and can
+    flip a borderline sign) — used by the cosine near-dup blocking where
+    the 16 interpreted folds per row dominate."""
     H = _hyperplanes(dim, bits, seed)
+    if impl == "batch":
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        out_schema = T.StructType(
+            list(emb.schema.fields) + [T.StructField(out, T.LongType())]
+        )
+
+        def kernel(batches):
+            for pdf in batches:
+                n = len(pdf)
+                pdf = pdf.copy(deep=False)
+                if n == 0:
+                    pdf[out] = pd.Series([], dtype="int64")
+                    yield pdf
+                    continue
+                M = np.array(list(pdf[vec_col]), dtype=np.float64)
+                bucket = np.zeros(n, dtype=np.int64)
+                for i in range(bits):
+                    acc = np.zeros(n, dtype=np.float64)
+                    for dd in range(dim):
+                        # same left-fold order per row as the SQL fold
+                        acc = acc + M[:, dd] * H[dd, i]
+                    bucket |= (acc > 0.0).astype(np.int64) << i
+                pdf[out] = bucket
+                yield pdf
+
+        return emb.mapInPandas(kernel, schema=out_schema)
+    if impl != "expr":
+        raise ValueError(f"unknown impl: {impl!r}")
     d = emb
     vec_d = f"transform({vec_col}, v -> cast(v as double))"
     terms = []
@@ -403,7 +440,9 @@ def cosine_near_dup_blocked(
     the defaults trade pruning for recall.  Recall vs the exact all-pairs
     join is measured in tests/test_ann_salting.py.
     """
-    bucketed = with_lsh_bucket(emb, dim, bits, seed, vec_col=vec_col)
+    bucketed = with_lsh_bucket(
+        emb, dim, bits, seed, vec_col=vec_col, impl="batch"
+    )
     nrm = F.expr(
         "sqrt(aggregate(transform(emb, a -> a * a), 0D, (acc, v) -> acc + v))"
     )

@@ -270,6 +270,30 @@ def test_batch_hash_kernels_match_expr(spark):
     assert set(fp_b[a]) & set(fp_b[b])
 
 
+def test_lsh_bucket_batch_matches_expr(spark):
+    """The numpy LSH-bucket kernel must reproduce the SQL fold's bucket
+    ids BIT-identically — it loops over dims (vectorizing over rows) so
+    every row's accumulator sees the same float64 addition order; a
+    matmul formulation would reorder and can flip borderline signs."""
+    from geojson_vt_rs_spark.operators.ann import with_lsh_bucket
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    dim = len(emb.select("embedding").head()[0])
+    e = {
+        r.vec_id: r.bucket
+        for r in with_lsh_bucket(emb, dim, 16).select(
+            "vec_id", "bucket"
+        ).collect()
+    }
+    b = {
+        r.vec_id: r.bucket
+        for r in with_lsh_bucket(emb, dim, 16, impl="batch").select(
+            "vec_id", "bucket"
+        ).collect()
+    }
+    assert e == b and len(e) > 0
+
+
 def test_dedup_clusters_crafted_graph(spark):
     """Min-label propagation on a crafted graph: a 3-chain, a pair, and
     an isolated node resolve to the expected components; canonical set
