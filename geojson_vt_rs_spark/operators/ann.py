@@ -107,14 +107,26 @@ def with_lsh_bucket(
                     pdf[out] = pd.Series([], dtype="int64")
                     yield pdf
                     continue
-                M = np.array(list(pdf[vec_col]), dtype=np.float64)
+                # expr-path parity off the happy path (ADVICE r4), checked
+                # against live Spark: a NULL embedding folds to bucket 0
+                # (each per-bit CASE's null condition falls to ELSE 0; the
+                # old kernel crashed the executor instead), and a NaN
+                # accumulator SETS the bit — Spark's NaN ordering makes
+                # `NaN > 0D` true where numpy's comparison is False.
+                na = pdf[vec_col].isna().to_numpy()
                 bucket = np.zeros(n, dtype=np.int64)
-                for i in range(bits):
-                    acc = np.zeros(n, dtype=np.float64)
-                    for dd in range(dim):
-                        # same left-fold order per row as the SQL fold
-                        acc = acc + M[:, dd] * H[dd, i]
-                    bucket |= (acc > 0.0).astype(np.int64) << i
+                if (~na).any():
+                    M = np.array(list(pdf[vec_col][~na]), dtype=np.float64)
+                    sub = np.zeros(len(M), dtype=np.int64)
+                    for i in range(bits):
+                        acc = np.zeros(len(M), dtype=np.float64)
+                        for dd in range(dim):
+                            # same left-fold order per row as the SQL fold
+                            acc = acc + M[:, dd] * H[dd, i]
+                        sub |= (
+                            (acc > 0.0) | np.isnan(acc)
+                        ).astype(np.int64) << i
+                    bucket[~na] = sub
                 pdf[out] = bucket
                 yield pdf
 

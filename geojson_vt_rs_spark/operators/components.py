@@ -107,6 +107,7 @@ def _star_labels(
         edges.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
     ).localCheckpoint(eager=False)
     prev = None
+    prev_e = None
     converged = False
     for _ in range(max_rounds):
         e = _small_star(_large_star(e)).localCheckpoint(eager=False)
@@ -116,9 +117,18 @@ def _star_labels(
         ).collect()[0]
         sig = (stat["c"], stat["s"])
         if sig == prev:
-            converged = True
-            break  # edge set is a fixpoint of both stars -> disjoint stars
+            # the (count, sum) signature is NOT collision-free for star
+            # rounds (distinct edge sets can match on both; unlike label
+            # propagation there is no per-round monotonicity to lean on)
+            # — confirm the fixpoint EXACTLY before declaring it.  Edge
+            # sets are distinct (_canon_edges), so equal counts + empty
+            # difference <=> equal sets; the extra job runs only on a
+            # signature match (once per converged call).  (ADVICE r4)
+            if e.exceptAll(prev_e).isEmpty():
+                converged = True
+                break  # edge set is a fixpoint of both stars
         prev = sig
+        prev_e = e
     if not converged:
         raise RuntimeError(
             f"star rounds did not converge within {max_rounds} rounds"

@@ -65,8 +65,10 @@ def encode_vtv(frames: list) -> bytes:
 
 def decode_vtv(data: bytes) -> np.ndarray:
     """VTV1 container -> (n_frames, h, w, 3) uint8.  The header is
-    UNTRUSTED: frame count / dims are bound-checked against the payload
-    size BEFORE allocation, and every malformation raises ValueError."""
+    UNTRUSTED: the frame count is bound-checked against the payload size,
+    the output array is not allocated until the first frame has decoded
+    and matched the header dims, and every malformation raises
+    ValueError."""
     data = bytes(data)
     if len(data) < 12:
         raise ValueError("truncated VTV1 container (no header)")
@@ -81,7 +83,13 @@ def decode_vtv(data: bytes) -> np.ndarray:
             f"{len(data) - 12} bytes"
         )
     pos = 12
-    frames = np.empty((n, h, w, 3), dtype=np.uint8)
+    # h/w are ALSO untrusted (uint16 each): the frames array is not
+    # allocated until the FIRST frame has decoded and matched the header
+    # dims, so a tiny payload claiming (65535, 65535, 1) fails the shape
+    # check instead of forcing a ~12.9 GB np.empty (ADVICE r4)
+    frames = None
+    if n == 0:
+        return np.empty((0, h, w, 3), dtype=np.uint8)
     for fi in range(n):
         if pos + 4 > len(data):
             raise ValueError("truncated VTV1 container (frame prefix)")
@@ -100,6 +108,8 @@ def decode_vtv(data: bytes) -> np.ndarray:
                 f"VTV1 frame {fi} is {frame.shape[:2]}, header says "
                 f"{(h, w)}"
             )
+        if frames is None:
+            frames = np.empty((n, h, w, 3), dtype=np.uint8)
         frames[fi] = frame
         pos += ln
     return frames

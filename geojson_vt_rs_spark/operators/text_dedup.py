@@ -15,6 +15,8 @@ hash-uniform keys.
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -205,8 +207,11 @@ def minhash_band_pairs(docs: DataFrame) -> DataFrame:
         bands = bands.persist()
         # track under key even when key is None (never SERVED stale — the
         # lookup above is key-guarded — but tracked so the next call
-        # evicts it instead of leaking persisted tables)
-        for k in [k for k in _BAND_CACHE if k != key]:
+        # evicts it instead of leaking persisted tables).  Evict EVERY
+        # existing entry, including one under this same key: when key is
+        # None the lookup above missed by design, so an old None entry
+        # would otherwise be overwritten still-persisted (ADVICE r4).
+        for k in list(_BAND_CACHE):
             _BAND_CACHE.pop(k).unpersist()
         _BAND_CACHE[key] = bands
     a = bands.alias("a")
@@ -314,14 +319,24 @@ def _simhash_bit_terms(bits: int, hs: str, size_expr: str, spark: bool) -> list:
     return terms
 
 
+# ASCII \s only — Java regex \s == [ \t\n\x0b\f\r]; Python str.split()
+# would ALSO split on Unicode whitespace (U+00A0, U+2000.., U+3000) and
+# silently diverge from the expr/oracle tokenization (ADVICE r4).
+_ASCII_WS = re.compile(r"[ \t\n\x0b\f\r]+")
+
+
 def _batch_token_hashes(text, cache: dict):
     """(h64, lo32) int64 arrays of the doc's whitespace tokens — the
     batch twin of _spark_word_hash64 / the winnow lo-32 hash, one md5
     per DISTINCT token via the per-batch cache (something the JVM
-    expression path cannot do)."""
+    expression path cannot do).  Tokenizes on ASCII whitespace ONLY,
+    mirroring the JVM `split(trim(text), '\\\\s+')` semantics."""
     import hashlib
 
-    tokens = text.split() if isinstance(text, str) else []
+    tokens = (
+        [t for t in _ASCII_WS.split(text) if t] if isinstance(text, str)
+        else []
+    )
     h64 = np.empty(len(tokens), dtype=np.int64)
     lo32 = np.empty(len(tokens), dtype=np.int64)
     for i, w in enumerate(tokens):
@@ -763,8 +778,9 @@ def winnow_pairs(docs: DataFrame) -> DataFrame:
     fpt = _WINNOW_CACHE.get(key) if key is not None else None
     if fpt is None:
         fpt = winnow_fingerprint_rows(docs).persist()
-        # same None-key tracking discipline as _BAND_CACHE
-        for k in [k for k in _WINNOW_CACHE if k != key]:
+        # same None-key eviction discipline as _BAND_CACHE: drop every
+        # existing entry (incl. an old None entry) before storing
+        for k in list(_WINNOW_CACHE):
             _WINNOW_CACHE.pop(k).unpersist()
         _WINNOW_CACHE[key] = fpt
     a = fpt.alias("a")

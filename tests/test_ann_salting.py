@@ -215,6 +215,13 @@ def test_batch_hash_kernels_match_expr(spark):
 
     texts = [doc(n) for n in range(0, 9)]  # every small-n CASE branch
     texts += ["", "  ", "\t\n  foo\tbar\nbaz  "]  # whitespace edge cases
+    # non-ASCII whitespace (NBSP, EM SPACE, NEL, IDEOGRAPHIC SPACE) must
+    # stay INSIDE tokens: Java \s+ is ASCII-only, and Python str.split()
+    # would silently split here (ADVICE r4 regression corpus)
+    texts += [
+        "foo bar baz qux",
+        "ab　c ab　c end",
+    ]
     long_docs = [doc(n) for n in (5000, 12000, 40000)]
     # a shared 200-token run across two long docs (winnowing guarantee)
     shared = doc(200)
@@ -294,7 +301,36 @@ def test_lsh_bucket_batch_matches_expr(spark):
     assert e == b and len(e) > 0
 
 
-def test_dedup_clusters_crafted_graph(spark):
+def test_lsh_bucket_batch_null_and_nan(spark):
+    """Off-happy-path parity of the batch kernel with the expr path
+    (ADVICE r4): a NULL embedding row folds to bucket 0 (each per-bit
+    CASE's null condition falls to its ELSE 0 — verified against the
+    live expr plan; the old kernel crashed the executor), and a NaN in
+    the vector sets the affected bits the same way Spark's NaN ordering
+    does (`NaN > 0D` is TRUE in Spark, False in numpy)."""
+    from geojson_vt_rs_spark.operators.ann import with_lsh_bucket
+
+    dim = 4
+    rows = [
+        (0, [1.0, 2.0, -3.0, 0.5]),
+        (1, None),
+        (2, [float("nan"), 1.0, 1.0, 1.0]),
+        (3, [0.0, 0.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {}
+    for impl in ("expr", "batch"):
+        got[impl] = {
+            r.vec_id: r.bucket
+            for r in with_lsh_bucket(emb, dim, bits=8, impl=impl)
+            .select("vec_id", "bucket")
+            .collect()
+        }
+    assert got["expr"] == got["batch"]
+    assert got["batch"][1] == 0  # null embedding -> CASE ELSE 0 per bit
+    # NaN accumulator compares greater-than-zero under Spark semantics:
+    # every bit whose fold saw the NaN is set
+    assert got["batch"][2] == 255
     """Min-label propagation on a crafted graph: a 3-chain, a pair, and
     an isolated node resolve to the expected components; canonical set
     has one row per cluster with correct sizes."""

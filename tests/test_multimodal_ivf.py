@@ -82,6 +82,16 @@ def test_vtv_container_roundtrip():
     hostile = b"VTV1" + struct.pack(">HHI", 4096, 4096, 2**31 - 1)
     with pytest.raises(ValueError, match="claims"):
         decode_vtv(hostile)
+    # hostile DIMS: (65535, 65535, 1) over a tiny real frame must fail the
+    # shape check WITHOUT allocating the ~12.9 GB claimed array (the
+    # frames buffer is only allocated after frame 0 decodes and matches)
+    one = encode_vtv(frames[:1])
+    hostile_dims = b"VTV1" + struct.pack(">HHI", 65535, 65535, 1) + one[12:]
+    with pytest.raises(ValueError, match="header says"):
+        decode_vtv(hostile_dims)
+    # zero frames is well-formed: empty array, header dims echoed
+    empty = b"VTV1" + struct.pack(">HHI", 8, 4, 0)
+    assert decode_vtv(empty).shape == (0, 4, 8, 3)
     # truncated mid-frame -> clean ValueError, not struct/PNG internals
     with pytest.raises(ValueError):
         decode_vtv(data[: len(data) // 2])
