@@ -145,6 +145,12 @@ class CheckpointedPyramid:
         # avoid re-scanning per lookup; external writers are out of scope
         # (same single-writer contract as the staged-rename protocol).
         self._keys: dict = {}
+        # warm-lookup memo: (out_dir, z, x, y) -> persisted ranked tile DF
+        # (the reference's warm get_tile is a dict hit, lib.rs:193-195;
+        # without this every repeat read pays the one-tile rank window).
+        # Bounded LRU; invalidated with _keys on every publish.
+        self._tile_dfs: dict = {}
+        self._tile_dfs_cap = 256
 
     def _sink(self, out_dir: str):
         if not self._iceberg:
@@ -174,7 +180,12 @@ class CheckpointedPyramid:
                 payload,
             )
         _write_manifest(out_dir, name, payload)
-        self._keys.pop(out_dir, None)  # tile set changed; memo reloads lazily
+        self._invalidate_memos(out_dir)  # tile set changed; reload lazily
+
+    def _invalidate_memos(self, out_dir: str) -> None:
+        self._keys.pop(out_dir, None)
+        for k in [k for k in self._tile_dfs if k[0] == out_dir]:
+            self._tile_dfs.pop(k).unpersist()
 
     def _get_manifest(self, out_dir: str, name: str) -> Optional[dict]:
         m = _read_manifest(out_dir, name)
@@ -532,20 +543,35 @@ class CheckpointedPyramid:
         the persisted deterministic order-key columns — the output is one
         tile, so the rank window is a single tiny partition.  (Ranking at
         write time would funnel the entire dataset through 1-4 tasks at
-        z0/z1 — the scale-killer removed in round 4.)"""
+        z0/z1 — the scale-killer removed in round 4.)  Repeat reads of
+        the same tile hit a persisted per-(z,x,y) memo (bounded LRU,
+        invalidated on publish) so the warm path pays no parquet scan or
+        rank job — the reference's warm get_tile dict hit."""
         from pyspark.sql import Window
 
+        key = (out_dir, z, x, y)
+        cached = self._tile_dfs.get(key)
+        if cached is not None:
+            # refresh LRU position
+            self._tile_dfs[key] = self._tile_dfs.pop(key)
+            return cached
         w = Window.partitionBy("z", "x", "y").orderBy(
             "world_copy", "feature_seq", "slice_path", "sub_idx"
         )
-        return (
+        df = (
             self.spark.read.parquet(os.path.join(out_dir, "tiles"))
             .filter((F.col("z") == z) & (F.col("x") == x) & (F.col("y") == y))
             .filter(F.col("type").isNotNull())
             .withColumn("feature_idx", F.row_number().over(w) - 1)
             .drop("world_copy", "feature_seq", "slice_path", "sub_idx")
             .orderBy("feature_idx")
+            .persist()
         )
+        while len(self._tile_dfs) >= self._tile_dfs_cap:
+            old = next(iter(self._tile_dfs))
+            self._tile_dfs.pop(old).unpersist()
+        self._tile_dfs[key] = df
+        return df
 
     def _tile_exists(self, out_dir: str, z: int, x: int, y: int) -> bool:
         return (z, x, y) in self._tile_keys(out_dir)
@@ -656,7 +682,7 @@ class CheckpointedPyramid:
         if os.path.isdir(stg_t):
             os.makedirs(os.path.join(out_dir, "tiles"), exist_ok=True)
             os.rename(stg_t, fin_t)
-        self._keys.pop(out_dir, None)  # new tiles published
+        self._invalidate_memos(out_dir)  # new tiles published
         return self.read_tile(out_dir, z, x, y)
 
     def _drill_levels(

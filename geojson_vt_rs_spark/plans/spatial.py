@@ -288,8 +288,18 @@ def nn_resample(rgb: np.ndarray, size: int = SLOT_PX) -> np.ndarray:
     return rgb[yi][:, xi]
 
 
+# Above this zoom the worst-case survivor set (4^zoom tiles x SLOTS ids,
+# ~50 B/row) can exceed a safe broadcast size (z7 ~ 4.2M rows ~ 200 MB;
+# z8 ~ 16.7M rows would blow the broadcast ceiling), so the explicit
+# broadcast hint is dropped and AQE picks the join strategy from the
+# ACTUAL survivor size at runtime (still a broadcast when the occupied
+# tile count is small, a shuffled hash join otherwise).
+MOSAIC_BROADCAST_MAX_ZOOM = 7
+
+
 def mosaic_tiles(
-    images_pts: DataFrame, zoom: int, decode_early: bool = False
+    images_pts: DataFrame, zoom: int, decode_early: bool = False,
+    broadcast_survivors: bool | None = None,
 ) -> DataFrame:
     """Render one raster tile per occupied cell: up to SLOTS images per
     tile (deterministic min-by-image_id cap — bounds skewed groups), each
@@ -331,9 +341,15 @@ def mosaic_tiles(
         .filter(F.col("slot") < SLOTS)
         .select("cx", "cy", "image_id", "slot")
     )
+    # the survivor set is bounded by occupied_tiles * SLOTS — tiny at low
+    # mosaic zooms (hint it broadcast), but worst-case 4^zoom * SLOTS at
+    # high zooms; above the threshold let AQE choose from actual sizes
+    if broadcast_survivors is None:
+        broadcast_survivors = zoom <= MOSAIC_BROADCAST_MAX_ZOOM
+    right = F.broadcast(capped_ids) if broadcast_survivors else capped_ids
     joined = images_pts.select(
         "cx", "cy", "image_id", "bytes", "w", "h", "fmt"
-    ).join(F.broadcast(capped_ids), ["cx", "cy", "image_id"], "inner")
+    ).join(right, ["cx", "cy", "image_id"], "inner")
 
     if decode_early:
         slot_schema = T.StructType(

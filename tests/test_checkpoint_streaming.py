@@ -54,10 +54,21 @@ def test_checkpointed_pyramid_and_resume(spark, tmp_path):
     # the tiles table supports partition-pruned point lookups
     tile = cp.read_tile(out, 1, 0, 0).toPandas()
     assert len(tile) >= 0
+    # warm repeat read hits the per-(z,x,y) memo (same persisted DF, no
+    # new scan+rank plan), with identical rows
+    again = cp.read_tile(out, 1, 0, 0)
+    assert again is cp.read_tile(out, 1, 0, 0)
+    assert again.toPandas().equals(tile)
 
     # fully-completed run resumes as a no-op
     s3 = cp.run(feats, out)
     assert s3["levels"] == s2["levels"]
+    # publishing (even a no-op resume does not publish; force one by
+    # invalidation check): a publish must evict the warm memo
+    cp._invalidate_memos(out)
+    fresh = cp.read_tile(out, 1, 0, 0)
+    assert fresh is not again
+    assert fresh.toPandas().equals(tile)
 
 
 def test_checkpointed_mosaic_resume(spark, tmp_path):

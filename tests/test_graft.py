@@ -223,3 +223,39 @@ def test_mosaic_decode_early_identical(spark):
     }
     imgs.unpersist()
     assert a == b
+
+
+def test_mosaic_unbroadcast_survivors_identical(spark):
+    """Above MOSAIC_BROADCAST_MAX_ZOOM the survivor-id join drops its
+    broadcast hint (worst-case 4^zoom * SLOTS rows would blow the
+    broadcast ceiling at z8+) and lets AQE pick the strategy — output
+    must be byte-identical on both sides of the gate, and the hint-free
+    plan must not carry the explicit broadcast hint."""
+    from geojson_vt_rs_spark.plans.spatial import (
+        MOSAIC_BROADCAST_MAX_ZOOM,
+        mosaic_tiles,
+        with_cells,
+        with_footprints,
+    )
+    from geojson_vt_rs_spark.sources.images import generate_images
+
+    imgs = with_cells(with_footprints(generate_images(spark, 400, 4)), 5)
+    imgs = imgs.persist()
+
+    def tiles(**kw):
+        return {
+            (r["x"], r["y"]): (bytes(r["tile_png"]), r["manifest_json"])
+            for r in mosaic_tiles(imgs, 5, **kw).collect()
+        }
+
+    a = tiles(broadcast_survivors=True)
+    b = tiles(broadcast_survivors=False)
+    assert a == b and len(a) > 0
+    # the default gate: low zoom hints broadcast, high zoom does not
+    lo = mosaic_tiles(imgs, 5)
+    hi = mosaic_tiles(imgs, MOSAIC_BROADCAST_MAX_ZOOM + 1)
+    lo_plan = lo._jdf.queryExecution().optimizedPlan().toString()
+    hi_plan = hi._jdf.queryExecution().optimizedPlan().toString()
+    assert "rightHint=(strategy=broadcast)" in lo_plan
+    assert "strategy=broadcast" not in hi_plan
+    imgs.unpersist()
