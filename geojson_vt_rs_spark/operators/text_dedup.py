@@ -69,9 +69,12 @@ def _minhash_batch(text, cache: dict):
 
     if not isinstance(text, str):
         return [None] * N_PERM
-    rows = []
-    for i in range(0, max(len(text) - 4, 1), 3):
-        s = text[i : i + 5]
+    # a min over the shingle multiset equals the min over the DISTINCT
+    # shingle set — dedupe before hashing, so repeated shingles cost one
+    # set-add instead of a dict probe + row append each
+    uniq = {text[i : i + 5] for i in range(0, max(len(text) - 4, 1), 3)}
+    rows = np.empty((len(uniq), N_PERM), dtype=np.int64)
+    for j, s in enumerate(uniq):
         v = cache.get(s)
         if v is None:
             h1 = hashlib.md5(s.encode("utf-8")).hexdigest()
@@ -82,8 +85,8 @@ def _minhash_batch(text, cache: dict):
                 for k in range(4)
             )
             cache[s] = v
-        rows.append(v)
-    return [int(m) for m in np.asarray(rows, dtype=np.int64).min(axis=0)]
+        rows[j] = v
+    return [int(m) for m in rows.min(axis=0)]
 
 
 def with_minhashes(docs: DataFrame, impl: str = "batch") -> DataFrame:
@@ -328,18 +331,31 @@ _ASCII_WS = re.compile(r"[ \t\n\x0b\f\r]+")
 def _batch_token_hashes(text, cache: dict):
     """(h64, lo32) int64 arrays of the doc's whitespace tokens — the
     batch twin of _spark_word_hash64 / the winnow lo-32 hash, one md5
-    per DISTINCT token via the per-batch cache (something the JVM
-    expression path cannot do).  Tokenizes on ASCII whitespace ONLY,
-    mirroring the JVM `split(trim(text), '\\\\s+')` semantics."""
+    per DISTINCT token (something the JVM expression path cannot do).
+    Tokenizes on ASCII whitespace ONLY, mirroring the JVM
+    `split(trim(text), '\\\\s+')` semantics.
+
+    Vectorized gather: np.unique over a fixed-width unicode array (a C
+    sort) finds the distinct tokens; Python touches only those for the
+    md5 (through the cross-doc ``cache``), and the per-token expansion
+    is a fancy-index — the former per-token dict loop made highly
+    repetitive long docs (15k tokens / 2k vocab) SLOWER than the JVM
+    expr path (BENCH.md counter-shape, VERDICT r4 item 6)."""
     import hashlib
 
     tokens = (
         [t for t in _ASCII_WS.split(text) if t] if isinstance(text, str)
         else []
     )
-    h64 = np.empty(len(tokens), dtype=np.int64)
-    lo32 = np.empty(len(tokens), dtype=np.int64)
-    for i, w in enumerate(tokens):
+    n = len(tokens)
+    if n == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z
+    uniq, inv = np.unique(np.asarray(tokens), return_inverse=True)
+    uh64 = np.empty(len(uniq), dtype=np.int64)
+    ulo32 = np.empty(len(uniq), dtype=np.int64)
+    for i, w in enumerate(uniq):
+        w = str(w)
         v = cache.get(w)
         if v is None:
             hx = hashlib.md5(w.encode("utf-8")).hexdigest()
@@ -350,9 +366,9 @@ def _batch_token_hashes(text, cache: dict):
                 lo,
             )
             cache[w] = v
-        h64[i] = v[0]
-        lo32[i] = v[1]
-    return h64, lo32
+        uh64[i] = v[0]
+        ulo32[i] = v[1]
+    return uh64[inv], ulo32[inv]
 
 
 def _simhash_batch(h64: np.ndarray) -> int:
@@ -380,16 +396,16 @@ def with_simhash(docs: DataFrame, impl: str = "batch") -> DataFrame:
     the tokens have bit j of their (single, materialized) md5 hash set.
 
     ``impl="batch"`` (default): numpy mapInPandas kernel — unpackbits
-    bit counts + one md5 per DISTINCT token; 4-8x the expression path on
-    the oracle corpus.  ``impl="expr"`` is the pure-JVM original (folds
-    the 64 bit counts over a once-materialized hash-array column —
-    Catalyst does no CSE across HOF lambdas, so in-lining the hash per
-    bit would rerun md5 64x per token); it edges the batch kernel only
-    on extremely repetitive long documents (~15k tokens drawn from a
-    2k-token vocabulary, BENCH.md), where the batch kernel's per-token
-    Python cache loop dominates.  Outputs are byte-identical (asserted
-    by tests incl. null text), so the DuckDB oracle checks either path.
-    """
+    bit counts + one md5 per DISTINCT token, with an np.unique gather
+    replacing the former per-token Python cache loop; 2-5x the
+    expression path on BOTH corpus shapes (the repetitive-long-doc
+    counter-shape where the old loop lost 1.4x now wins 5x, BENCH.md).
+    ``impl="expr"`` is the pure-JVM original (folds the 64 bit counts
+    over a once-materialized hash-array column — Catalyst does no CSE
+    across HOF lambdas, so in-lining the hash per bit would rerun md5
+    64x per token).  Outputs are byte-identical (asserted by tests incl.
+    null text and non-ASCII whitespace), so the DuckDB oracle checks
+    either path."""
     if impl == "batch":
         out_schema = T.StructType(
             list(docs.schema.fields)
