@@ -94,12 +94,88 @@ def convert_wrap_stage(
     are per-feature, so composing them in-kernel halves the Arrow
     round-trips of the pipeline head (the wide feature arrays otherwise
     cross JVM<->Python twice back-to-back).  Output is identical to
-    wrap_stage(convert_stage(df, ...), ...)."""
+    wrap_stage(convert_stage(df, ...), ...).
+
+    Columnar fast path (the z0 ingest wave was ~40 of 93s of the 8-core
+    1M-point build, ~80us/row of per-feature Python here): single-
+    coordinate Point rows project in ONE vectorized pass.  A point's
+    convert is just project_points (no metrics, no simplify — zs stay
+    0), and its wrap is a no-op whenever buffer < X < 1-buffer (the
+    left clip [-1-b, b] and right clip [1-b, 2+b] are then both empty,
+    so core_wrap returns the feature unchanged, world_copy included).
+    Antimeridian-buffer points and everything else take the per-feature
+    path; elementwise math is identical (same project_points call), so
+    goldens are unaffected."""
+    from geojson_vt_rs_spark.core.geom import GEOM_POINT
+    from geojson_vt_rs_spark.core.project import project_points
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        zero1 = np.zeros(1)
         for pdf in batches:
+            is_pt = (
+                (pdf["geom_type"].to_numpy() == GEOM_POINT)
+                & (pdf["num_points"].to_numpy() == 1)
+            )
+            if is_pt.any():
+                gc = pdf["gc_kinds"].to_numpy()
+                is_pt &= np.fromiter(
+                    (g is None for g in gc), bool, count=len(gc)
+                )
+            if is_pt.any():
+                X, Y = project_points(
+                    np.concatenate(list(pdf["xs"].to_numpy()[is_pt])),
+                    np.concatenate(list(pdf["ys"].to_numpy()[is_pt])),
+                )
+                # strict inequalities: a point exactly ON the buffer
+                # boundary is clip-inclusion-sensitive -> per-feature path
+                center_only = (X > buffer) & (X < 1.0 - buffer)
+                if not center_only.all():
+                    is_pt[np.flatnonzero(is_pt)[~center_only]] = False
+                    X, Y = X[center_only], Y[center_only]
+            if is_pt.any():
+                k = int(is_pt.sum())
+                seqs = pdf["feature_seq"].to_numpy()[is_pt]
+                d = dict(
+                    feature_seq=seqs,
+                    world_copy=pdf["world_copy"].to_numpy()[is_pt],
+                    slice_path=pdf["slice_path"].to_numpy()[is_pt],
+                    id_str=(
+                        [None] * k if generate_id
+                        else pdf["id_str"].to_numpy()[is_pt]
+                    ),
+                    id_num=(
+                        seqs if generate_id
+                        else pdf["id_num"].to_numpy()[is_pt]
+                    ),
+                    id_float=(
+                        [None] * k if generate_id
+                        else pdf["id_float"].to_numpy()[is_pt]
+                    ),
+                    props_json=pdf["props_json"].to_numpy()[is_pt],
+                    geom_type=pdf["geom_type"].to_numpy()[is_pt],
+                    xs=[X[i : i + 1] for i in range(k)],
+                    ys=[Y[i : i + 1] for i in range(k)],
+                    zs=[zero1] * k,
+                    part_offsets=pdf["part_offsets"].to_numpy()[is_pt],
+                    ring_offsets=pdf["ring_offsets"].to_numpy()[is_pt],
+                    gc_kinds=[None] * k,
+                    gc_part_offsets=[None] * k,
+                    part_dist=[zero1] * k,
+                    part_seg_start=[zero1] * k,
+                    part_seg_end=[zero1] * k,
+                    part_area=[zero1] * k,
+                    bbox_min_x=X,
+                    bbox_min_y=Y,
+                    bbox_max_x=X,
+                    bbox_max_y=Y,
+                    num_points=np.ones(k, dtype=np.int32),
+                )
+                yield pd.DataFrame(d, columns=FEATURE_COLS)
+            rest = pdf.loc[~is_pt] if is_pt.any() else pdf
+            if len(rest) == 0:
+                continue
             out: List[dict] = []
-            for f in pdf_to_features(pdf):
+            for f in pdf_to_features(rest):
                 if generate_id:
                     f.id_str = None
                     f.id_num = f.feature_seq

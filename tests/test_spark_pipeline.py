@@ -201,3 +201,109 @@ def test_float_feature_ids(spark):
     idx = SparkGeoJSONVT(spark, feats, Options(), prefer_local=False)
     st = idx.get_tile(0, 0, 0)
     assert ids_of(st.features) == got_local
+
+
+def test_convert_wrap_point_fast_path_equivalence(spark):
+    """The fused convert+wrap stage's vectorized single-point path must
+    be byte-identical to the composed per-feature stages on a corpus
+    spanning the fast path (interior points), its exclusions
+    (antimeridian-buffer points, poles, multipoints, lines, polygons),
+    and both generate_id settings."""
+    import numpy as np
+
+    from geojson_vt_rs_spark.core.geom import (
+        GEOM_LINESTRING,
+        GEOM_MULTIPOINT,
+        GEOM_POINT,
+        GEOM_POLYGON,
+        make_feature,
+    )
+    from geojson_vt_rs_spark.operators.pipeline import (
+        convert_stage,
+        convert_wrap_stage,
+        wrap_stage,
+    )
+    from geojson_vt_rs_spark.operators.schema import (
+        FEATURE_SCHEMA,
+        create_feature_df,
+        features_to_pdf,
+    )
+
+    z1 = np.zeros(1)
+
+    def pt(i, lon, lat):
+        f = make_feature(
+            GEOM_POINT,
+            [(np.array([lon]), np.array([lat]), z1)],
+            props_json=f'{{"i":{i}}}',
+            feature_seq=i,
+        )
+        f.num_points = 1
+        return f
+
+    feats = [
+        pt(0, -77.0, 38.9),          # interior
+        pt(1, 179.999, 10.0),        # inside the right wrap buffer
+        pt(2, -179.999, -10.0),      # inside the left wrap buffer
+        pt(3, 0.0, 89.9),            # near-pole (Y clamp region)
+        pt(4, 12.0, -89.9),
+        pt(5, -180.0, 0.0),          # exactly on the antimeridian
+        pt(6, 180.0, 0.0),
+    ]
+    mp = make_feature(
+        GEOM_MULTIPOINT,
+        [(np.array([1.0, 179.9]), np.array([2.0, 3.0]), np.zeros(2))],
+        props_json='{"i":7}',
+        feature_seq=7,
+    )
+    mp.num_points = 2
+    ln = make_feature(
+        GEOM_LINESTRING,
+        [(np.array([-10.0, 10.0]), np.array([0.0, 5.0]), np.zeros(2))],
+        feature_seq=8,
+    )
+    ln.num_points = 2
+    ring_x = np.array([0.0, 1.0, 1.0, 0.0, 0.0])
+    ring_y = np.array([0.0, 0.0, 1.0, 1.0, 0.0])
+    pg = make_feature(
+        GEOM_POLYGON,
+        [(ring_x, ring_y, np.zeros(5))],
+        ring_group_sizes=[1],
+        feature_seq=9,
+    )
+    pg.num_points = 5
+    feats += [mp, ln, pg]
+
+    df = create_feature_df(spark, features_to_pdf(feats), FEATURE_SCHEMA)
+    tol = (0.390625 / 4096) / (1 << 14)
+    buf = 64 / 4096
+
+    def canon(rows):
+        out = []
+        for r in sorted(
+            rows, key=lambda r: (r["feature_seq"], r["world_copy"])
+        ):
+            out.append(
+                tuple(
+                    tuple(v) if isinstance(v, (list, np.ndarray)) else v
+                    for v in [
+                        r["feature_seq"], r["world_copy"], r["slice_path"],
+                        r["id_str"], r["id_num"], r["id_float"],
+                        r["props_json"], r["geom_type"], r["xs"], r["ys"],
+                        r["zs"], r["part_offsets"], r["ring_offsets"],
+                        r["part_dist"], r["part_area"], r["bbox_min_x"],
+                        r["bbox_min_y"], r["bbox_max_x"], r["bbox_max_y"],
+                        r["num_points"],
+                    ]
+                )
+            )
+        return out
+
+    for gen_id in (False, True):
+        fused = canon(
+            convert_wrap_stage(df, tol, gen_id, buf, False).collect()
+        )
+        composed = canon(
+            wrap_stage(convert_stage(df, tol, gen_id), buf, False).collect()
+        )
+        assert fused == composed and len(fused) >= len(feats)
