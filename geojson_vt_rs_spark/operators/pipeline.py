@@ -774,10 +774,12 @@ def _rs_body(options: Options):
     return body
 
 
-def _rs_cagg_frame(cagg: dict) -> pd.DataFrame:
+def _rs_cagg_frame(cagg: dict, sub_idx=None) -> pd.DataFrame:
     """(z,x,y) -> (num_points, row_count) partials as RS_CAGG rows.
     n_emitted doubles as the partial child ROW count so the driver can
-    finish n_children without a job."""
+    finish n_children without a job.  ``sub_idx=-1`` marks PARENT
+    partials (the input tiles' own point sums, emitted by the optimistic
+    first wave) apart from the default child partials (sub_idx NULL)."""
     keys = list(cagg)
     d = {c: [None] * len(keys) for c in RS_COLS}
     d.update(
@@ -788,10 +790,14 @@ def _rs_cagg_frame(cagg: dict) -> pd.DataFrame:
         num_points=[int(v[0]) for v in cagg.values()],
         n_emitted=[int(v[1]) for v in cagg.values()],
     )
+    if sub_idx is not None:
+        d["sub_idx"] = sub_idx
     return pd.DataFrame(d, columns=RS_COLS)
 
 
-def render_split_stage(df: DataFrame, options: Options) -> DataFrame:
+def render_split_stage(
+    df: DataFrame, options: Options, emit_parent_cagg: bool = False
+) -> DataFrame:
     """ONE Python pass per pyramid level: renders every row (RS_RENDER
     rows, the per-feature RENDER_SCHEMA payload) and, for rows whose tile
     the driver decided to split (action == 'split'), also emits the child
@@ -802,7 +808,11 @@ def render_split_stage(df: DataFrame, options: Options) -> DataFrame:
     The split side keeps split_stage's columnar fast path: bbox-contained
     rows pass through as pandas slices with no per-feature Python.
     Input must carry the driver's ``action`` column ('leaf'/'split').
-    """
+
+    ``emit_parent_cagg=True`` additionally emits per-batch partials of
+    the INPUT tiles' own point sums as RS_CAGG rows with sub_idx = -1 —
+    the optimistic first wave decides leaf-vs-split AFTER rendering from
+    these, so the first level needs no separate decision agg job."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         body = _rs_body(options)
@@ -813,6 +823,17 @@ def render_split_stage(df: DataFrame, options: Options) -> DataFrame:
             parts, cagg = body(pdf)
             if cagg:
                 parts.append(_rs_cagg_frame(cagg))
+            if emit_parent_cagg:
+                g = pdf.groupby(["z", "x", "y"], sort=False)[
+                    "num_points"
+                ].agg(["sum", "size"])
+                pc = {
+                    k: (int(s), int(c))
+                    for k, s, c in zip(
+                        g.index, g["sum"].tolist(), g["size"].tolist()
+                    )
+                }
+                parts.append(_rs_cagg_frame(pc, sub_idx=-1))
             # yield each part as its own Arrow batch: pd.concat of mixed
             # all-NA object frames triggers an elementwise NA scan (~4s
             # per 100k-row batch measured) that the separate batches skip

@@ -196,7 +196,19 @@ class CheckpointedPyramid:
                 _write_manifest(out_dir, name, m)  # restore the cache
         return m
 
-    def run(self, features_df: DataFrame, out_dir: str) -> dict:
+    def run(
+        self, features_df: DataFrame, out_dir: str,
+        raw_npts: Optional[int] = None,
+    ) -> dict:
+        """``raw_npts`` (optional): the input's total RAW point count —
+        lets the fresh level-0 turn skip BOTH the raw gate agg and the
+        converted decision agg.  When absent it is computed with one
+        cheap JVM sum over ``features_df`` (no Python kernels).  The
+        gate mirrors SparkGeoJSONVT._run: raw <= fuse_bound fuses the
+        root outright; larger inputs render+split z0 OPTIMISTICALLY and
+        finish the decision from parent partials emitted inside the
+        same wave — the z0 ingest pass no longer materializes the whole
+        convert+wrap output once for the agg and again for the render."""
         o = self.options
         spark = self.spark
         kernel = _level_kernel(o, 0, 0, 0, force_subtree=True)
@@ -221,7 +233,8 @@ class CheckpointedPyramid:
                 frontier = spark.read.parquet(
                     os.path.join(out_dir, "frontier", f"level_{level}")
                 )
-        else:
+        first_mode = None
+        if level == 0:
             z2 = 1 << o.max_zoom
             wrapped = convert_wrap_stage(
                 features_df,
@@ -233,6 +246,11 @@ class CheckpointedPyramid:
             frontier = wrapped.select(
                 F.lit(0).alias("z"), F.lit(0).alias("x"), F.lit(0).alias("y"), "*"
             )
+            if raw_npts is None:
+                raw_npts = int(
+                    features_df.agg(F.sum("num_points")).collect()[0][0] or 0
+                )
+            first_mode = "gate"  # resolved to fuse/optimistic below
 
         from concurrent.futures import ThreadPoolExecutor
 
@@ -247,6 +265,10 @@ class CheckpointedPyramid:
         tiles_path = os.path.join(out_dir, "tiles")
         leaves_path = os.path.join(out_dir, "leaves")
         fuse_max = fuse_bound(o, 0)
+        if first_mode is not None:
+            # fresh level-0 gate (mirrors SparkGeoJSONVT._run): tiny
+            # inputs fuse outright, everything else splits optimistically
+            first_mode = "fuse" if raw_npts <= fuse_max else "optimistic"
         pending_children: list = resumed_pending
 
         def _level_dirs(lvl):
@@ -284,7 +306,16 @@ class CheckpointedPyramid:
             t0 = time.time()
             stg_tiles, stg_leaves, fin_tiles, fin_leaves = _level_dirs(level)
             frontier = frontier.persist()
-            if next_np is not None:
+            turn_mode = first_mode if level == 0 else None
+            first_mode = None
+            if turn_mode is not None:
+                np_pdf = None
+                if turn_mode == "fuse":
+                    decisions = [(0, 0, 0, "fuse", int(raw_npts))]
+                else:
+                    decisions = [(0, 0, 0, "split", None)]
+                observed = {(0, 0, 0)}
+            elif next_np is not None:
                 np_pdf = next_np
                 next_np = None
             else:
@@ -293,11 +324,17 @@ class CheckpointedPyramid:
                     .agg(F.sum("num_points").alias("tnp"))
                     .toPandas()
                 )
-            observed = {(int(r.z), int(r.x), int(r.y)) for r in np_pdf.itertuples()}
-            decisions = [
-                (int(r.z), int(r.x), int(r.y), _decide(int(r.z), int(r.x), int(r.y), int(r.tnp)), int(r.tnp))
-                for r in np_pdf.itertuples(index=False)
-            ]
+            if np_pdf is not None:
+                observed = {
+                    (int(r.z), int(r.x), int(r.y))
+                    for r in np_pdf.itertuples()
+                }
+                decisions = [
+                    (int(r.z), int(r.x), int(r.y),
+                     _decide(int(r.z), int(r.x), int(r.y), int(r.tnp)),
+                     int(r.tnp))
+                    for r in np_pdf.itertuples(index=False)
+                ]
             tiles_schema = TILE_STORE_DDL
             # empty children of the previous level's split parents
             empty_rows = [
@@ -306,7 +343,7 @@ class CheckpointedPyramid:
                 for z, x, y in pending_children
                 if (z, x, y) not in observed
             ]
-            if np_pdf.empty:
+            if np_pdf is not None and np_pdf.empty:
                 if prev_step2 is not None:
                     prev_step2.unpersist()
                     prev_step2 = None
@@ -342,7 +379,8 @@ class CheckpointedPyramid:
             # and read_tile derives feature_idx per tile (trivial there —
             # one tile's rows).
             step2 = render_split_stage(
-                fr.filter(F.col("action") != "fuse"), o
+                fr.filter(F.col("action") != "fuse"), o,
+                emit_parent_cagg=(turn_mode == "optimistic"),
             ).localCheckpoint(eager=False)  # truncate cross-level lineage
             rend = step2.filter(F.col("row_kind") == RS_RENDER)
             split_parents = [
@@ -380,7 +418,8 @@ class CheckpointedPyramid:
             def _collect_cagg():
                 return (
                     step2.filter(F.col("row_kind") == RS_CAGG)
-                    .select("z", "x", "y", "num_points", "n_emitted")
+                    .select("z", "x", "y", "num_points", "n_emitted",
+                            "sub_idx")
                     .toPandas()
                 )
 
@@ -404,7 +443,57 @@ class CheckpointedPyramid:
                 # checkpointed pass is no longer referenced
                 prev_step2.unpersist()
                 prev_step2 = None
-            frontier.unpersist()
+            opt_leaf_src = None
+            if turn_mode == "optimistic":
+                # finish the deferred root decision from the wave's own
+                # parent partials (sub_idx == -1 RS_CAGG rows)
+                saw_root, tnp_root = False, 0
+                if cagg is not None and not cagg.empty:
+                    pm = cagg["sub_idx"] == -1
+                    saw_root = bool(pm.any())
+                    tnp_root = int(cagg.loc[pm, "num_points"].sum())
+                    cagg = cagg.loc[~pm]
+                if not saw_root:
+                    # empty / fully-dropped input: commit the empty level
+                    # exactly like the decision-first path (no tile dirs)
+                    for p in (
+                        stg_tiles, stg_leaves,
+                        os.path.join(out_dir, "frontier",
+                                     f"level_{level + 1}"),
+                    ):
+                        shutil.rmtree(p, ignore_errors=True)
+                    self._commit_manifest(
+                        out_dir, f"level_{level}",
+                        dict(level=level, n_tiles=0, n_tile_feature_rows=0,
+                             n_leaf_feature_rows=0, n_children=0,
+                             pending_children=[],
+                             wall_sec=round(time.time() - t0, 3)),
+                        fin_tiles,
+                    )
+                    frontier.unpersist()
+                    fr.unpersist()
+                    step2.unpersist()
+                    return self.summary(out_dir)
+                action = _decide(0, 0, 0, tnp_root)
+                if action == "fuse":
+                    # the wave already rendered+split; run the children as
+                    # a real level (they will fuse on the next turn)
+                    action = "split"
+                decisions = [(0, 0, 0, action, tnp_root)]
+                if action == "leaf":
+                    # mispredicted: the root is really a leaf — keep its
+                    # render rows, retain the source features from the
+                    # persisted frontier, drop the wasted child clips
+                    split_parents = []
+                    cagg = None
+                    opt_leaf_src = frontier.select(*TILED_COLS)
+                    shutil.rmtree(
+                        os.path.join(out_dir, "frontier",
+                                     f"level_{level + 1}"),
+                        ignore_errors=True,
+                    )
+            if opt_leaf_src is None:
+                frontier.unpersist()
             n_children = 0
             if cagg is not None and not cagg.empty:
                 # finish the map-side partials driver-side: decision table
@@ -474,12 +563,20 @@ class CheckpointedPyramid:
                 )
                 step.unpersist()
 
-            # leaf tiles retain source features
+            # leaf tiles retain source features (the optimistic-leaf
+            # recovery reads them from the persisted frontier — fr's
+            # action column says 'split' there)
             n_leaf = 0
             if any(a == "leaf" for _, _, _, a, _ in decisions):
-                leaf_df = fr.filter(F.col("action") == "leaf").select(*TILED_COLS)
+                leaf_df = (
+                    opt_leaf_src
+                    if opt_leaf_src is not None
+                    else fr.filter(F.col("action") == "leaf").select(*TILED_COLS)
+                )
                 leaf_df.write.mode("append").partitionBy("z").parquet(stg_leaves)
                 n_leaf = int(leaf_df.count())
+            if opt_leaf_src is not None:
+                frontier.unpersist()
 
             pending_children = [
                 (z + 1, 2 * x + dx, 2 * y + dy)

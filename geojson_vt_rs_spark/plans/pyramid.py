@@ -310,8 +310,12 @@ class SparkGeoJSONVT:
         self.total = 0
         self._local = None
 
+        # raw JVM sum over the input — cheap (no Python kernels) and it
+        # lets the first level skip the expensive CONVERTED decision agg:
+        # raw <= fuse_bound -> the root fuses outright; raw > fuse_bound
+        # -> optimistic split (decisions finish from in-wave partials)
+        npts = features_df.agg(F.sum("num_points")).collect()[0][0] or 0
         if prefer_local is None:
-            npts = features_df.agg(F.sum("num_points")).collect()[0][0] or 0
             prefer_local = npts <= self.LOCAL_THRESHOLD_POINTS
         if prefer_local:
             self._init_local(features_df)
@@ -328,7 +332,7 @@ class SparkGeoJSONVT:
         frontier = wrapped.select(
             F.lit(0).alias("z"), F.lit(0).alias("x"), F.lit(0).alias("y"), "*"
         )
-        self._run(frontier, 0, 0, 0, 0, 0, 0)
+        self._run(frontier, 0, 0, 0, 0, 0, 0, raw_npts=int(npts))
 
     # ------------------------------------------------------------------
     def _init_local(self, features_df: DataFrame) -> None:
@@ -378,7 +382,8 @@ class SparkGeoJSONVT:
             return "leaf"
         return "split"
 
-    def _run(self, frontier: DataFrame, rz, rx, ry, cz, cx, cy):
+    def _run(self, frontier: DataFrame, rz, rx, ry, cz, cx, cy,
+             raw_npts=None):
         """One pyramid level per loop turn, decision-first:
 
         1. per-tile num_points via a JVM partial+final agg (the ONLY
@@ -388,7 +393,18 @@ class SparkGeoJSONVT:
         3. rendering and child-splitting run per-ROW (mapInPandas) —
            a z0 root with millions of features stays fully parallel;
            only bounded 'fuse' groups use applyInPandas.
-        """
+
+        With ``raw_npts`` (the RAW input point sum, build path only) the
+        FIRST level skips the converted decision agg — the one job that
+        materialized the whole convert+wrap output before any rendering:
+        raw <= fuse_bound routes the root straight into one fused
+        subtree task (converted tnp <= 3*raw: wrap at most triples
+        dateline-straddling features, so the task stays within ~3x the
+        soft fuse budget worst-case); larger inputs render+split the
+        root OPTIMISTICALLY and finish the leaf/split decision from
+        parent partials emitted inside the same wave, recovering the
+        leaf retention from the persisted frontier in the (rare) case
+        the root was not really a split."""
         from geojson_vt_rs_spark.operators.pipeline import (
             RS_CAGG,
             RS_CHILD,
@@ -406,6 +422,9 @@ class SparkGeoJSONVT:
 
         debug = os.environ.get("SPARK_GRAFT_DEBUG_LEVELS") == "1"
         first = True
+        first_mode = None
+        if cz == 0 and raw_npts is not None:
+            first_mode = "fuse" if raw_npts <= fuse_max else "optimistic"
         pending_children: list = []  # expected child keys of split parents
         prev = None
         # next level's per-tile num_points, pre-assembled from the render
@@ -415,7 +434,15 @@ class SparkGeoJSONVT:
         while True:
             _t0 = _time.time()
             frontier = frontier.persist()
-            if next_np is not None:
+            turn_mode = first_mode if first else None
+            if turn_mode is not None:
+                np_pdf = None
+                if turn_mode == "fuse":
+                    decisions = [(rz, rx, ry, "fuse", int(raw_npts))]
+                else:
+                    decisions = [(rz, rx, ry, "split", None)]
+                first = False
+            elif next_np is not None:
                 np_pdf = next_np
                 next_np = None
             else:
@@ -430,34 +457,36 @@ class SparkGeoJSONVT:
                     prev.unpersist()
                     prev = None
             _t_agg = _time.time()
-            if np_pdf.empty:
-                if prev is not None:
-                    prev.unpersist()
-                    prev = None
-                if first:
-                    # split_tile(empty, root) still creates the root tile
-                    # (lib.rs:265-295: insert precedes the early return)
-                    self._register(rz, rx, ry, [], 0, 0)
-                for ck in pending_children:
-                    self._register(ck[0], ck[1], ck[2], [], 0, 0)
-                frontier.unpersist()
-                return
-            first = False
+            if np_pdf is not None:
+                if np_pdf.empty:
+                    if prev is not None:
+                        prev.unpersist()
+                        prev = None
+                    if first:
+                        # split_tile(empty, root) still creates the root
+                        # tile (lib.rs:265-295: insert precedes the early
+                        # return)
+                        self._register(rz, rx, ry, [], 0, 0)
+                    for ck in pending_children:
+                        self._register(ck[0], ck[1], ck[2], [], 0, 0)
+                    frontier.unpersist()
+                    return
+                first = False
 
-            observed = set()
-            decisions = []
-            for r in np_pdf.itertuples(index=False):
-                z, x, y, tnp = int(r.z), int(r.x), int(r.y), int(r.tnp)
-                observed.add((z, x, y))
-                action = self._decide(z, x, y, tnp, cz, cx, cy)
-                if action == "split" and tnp <= fuse_max:
-                    action = "fuse"
-                decisions.append((z, x, y, action, tnp))
-            # children of the PREVIOUS level's split parents that received
-            # no features -> empty memoized tiles (lib.rs:344-428)
-            for ck in pending_children:
-                if ck not in observed:
-                    self._register(ck[0], ck[1], ck[2], [], 0, 0)
+                observed = set()
+                decisions = []
+                for r in np_pdf.itertuples(index=False):
+                    z, x, y, tnp = int(r.z), int(r.x), int(r.y), int(r.tnp)
+                    observed.add((z, x, y))
+                    action = self._decide(z, x, y, tnp, cz, cx, cy)
+                    if action == "split" and tnp <= fuse_max:
+                        action = "fuse"
+                    decisions.append((z, x, y, action, tnp))
+                # children of the PREVIOUS level's split parents that got
+                # no features -> empty memoized tiles (lib.rs:344-428)
+                for ck in pending_children:
+                    if ck not in observed:
+                        self._register(ck[0], ck[1], ck[2], [], 0, 0)
 
             ddf = spark.createDataFrame(
                 [(z, x, y, a) for z, x, y, a, _ in decisions],
@@ -469,13 +498,21 @@ class SparkGeoJSONVT:
             # clips split-tile children (the VtFeature is built once; one
             # Spark job instead of a render job + a split job per level)
             nonfuse = fr.filter(F.col("action") != "fuse")
+            has_fuse = any(a == "fuse" for _, _, _, a, _ in decisions)
+            has_leaf = any(a == "leaf" for _, _, _, a, _ in decisions)
+            has_nonfuse = any(a != "fuse" for _, _, _, a, _ in decisions)
             # localCheckpoint truncates the per-level lineage: without it
             # each level's logical plan embeds every previous level's and
             # analysis cost compounds (measured 4x wall blowup by z5 on a
             # no-fuse us-states build)
-            step2 = render_split_stage(nonfuse, o).localCheckpoint(eager=False)
-            has_fuse = any(a == "fuse" for _, _, _, a, _ in decisions)
-            has_leaf = any(a == "leaf" for _, _, _, a, _ in decisions)
+            step2 = (
+                render_split_stage(
+                    nonfuse, o,
+                    emit_parent_cagg=(turn_mode == "optimistic"),
+                ).localCheckpoint(eager=False)
+                if has_nonfuse
+                else None
+            )
 
             # the level's three collections are INDEPENDENT Spark actions
             # (render rows from step2; fused subtrees and leaf retention
@@ -485,15 +522,19 @@ class SparkGeoJSONVT:
             # concurrent first touch duplicates only map-side work).
             # RS_CAGG partials ride along in the SAME collection: the next
             # level's decision agg finishes driver-side (no extra job).
+            _REND_COLS = [
+                "row_kind",
+                "z", "x", "y", "world_copy", "feature_seq", "slice_path",
+                "sub_idx", "type", "kind", "geometry_json", "tags_json",
+                "id_str", "id_num", "id_float", "n_emitted", "num_points",
+            ]
+
             def _collect_rend():
+                if step2 is None:
+                    return pd.DataFrame(columns=_REND_COLS)
                 return step2.filter(
                     F.col("row_kind").isin(RS_RENDER, RS_CAGG)
-                ).select(
-                    "row_kind",
-                    "z", "x", "y", "world_copy", "feature_seq", "slice_path",
-                    "sub_idx", "type", "kind", "geometry_json", "tags_json",
-                    "id_str", "id_num", "id_float", "n_emitted", "num_points",
-                ).toPandas()
+                ).select(*_REND_COLS).toPandas()
 
             def _collect_fuse():
                 step = (
@@ -529,6 +570,32 @@ class SparkGeoJSONVT:
                 # previous checkpoint is no longer referenced
                 prev.unpersist()
                 prev = None
+            if turn_mode == "optimistic":
+                # finish the deferred root decision from the wave's own
+                # parent partials (sub_idx == -1 RS_CAGG rows)
+                pm = (
+                    (merged["row_kind"] == RS_CAGG)
+                    & (merged["sub_idx"] == -1)
+                ).to_numpy()
+                saw_root = bool(pm.any())
+                tnp_root = int(merged.loc[pm, "num_points"].sum())
+                merged = merged.loc[~pm]
+                if not saw_root:
+                    # empty (or fully-dropped) input: the root tile still
+                    # exists (lib.rs:265-295)
+                    self._register(rz, rx, ry, [], 0, 0)
+                    frontier.unpersist()
+                    fr.unpersist()
+                    if step2 is not None:
+                        step2.unpersist()
+                    return
+                action = self._decide(rz, rx, ry, tnp_root, cz, cx, cy)
+                decisions = [(rz, rx, ry, action, tnp_root)]
+                if action != "split":
+                    # mispredicted: the root is really a leaf — keep its
+                    # render rows, retain the source features from the
+                    # persisted frontier, drop the wasted child clips
+                    leaf_rows = frontier.select(*TILED_COLS).toPandas()
             frontier.unpersist()
             is_cagg = merged["row_kind"].to_numpy() == RS_CAGG
             if is_cagg.any():
@@ -592,16 +659,22 @@ class SparkGeoJSONVT:
                     ].reset_index(drop=True)
 
             if debug:
-                zmin = int(np_pdf["z"].min())
+                zmin = min(d[0] for d in decisions)
                 print(
-                    f"[pyramid] z{zmin}: tiles={len(np_pdf)} "
+                    f"[pyramid] z{zmin}: tiles={len(decisions)} "
+                    f"mode={turn_mode or 'agg'} "
                     f"agg={_t_agg - _t0:.1f}s render={_t_rend - _t_agg:.1f}s "
                     f"rest={_time.time() - _t_rend:.1f}s",
                     flush=True,
                 )
             fr.unpersist()
+            if turn_mode == "fuse" and to_id(rz, rx, ry) not in self.tiles:
+                # fused an empty/fully-dropped input: the root tile still
+                # exists (lib.rs:265-295)
+                self._register(rz, rx, ry, [], 0, 0)
             if not split_parents:
-                step2.unpersist()
+                if step2 is not None:
+                    step2.unpersist()
                 return
             if next_np is None:
                 # split parents whose children all clipped empty: next

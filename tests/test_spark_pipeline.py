@@ -307,3 +307,68 @@ def test_convert_wrap_point_fast_path_equivalence(spark):
             wrap_stage(convert_stage(df, tol, gen_id), buf, False).collect()
         )
         assert fused == composed and len(fused) >= len(feats)
+
+
+def test_first_turn_modes_leaf_recovery_and_empty(spark):
+    """The raw-gated first level: (a) optimistic split over a root that
+    is REALLY a leaf recovers exactly (render rows kept, leaf features
+    retained from the frontier, no children); (b) an empty input still
+    registers the root through both the fuse-all and optimistic routes
+    (lib.rs:265-295)."""
+    import numpy as np
+
+    from geojson_vt_rs_spark.core.geom import GEOM_POINT, make_feature
+    from geojson_vt_rs_spark.operators.schema import (
+        FEATURE_SCHEMA,
+        create_feature_df,
+        features_to_pdf,
+    )
+
+    def pts_df(n):
+        z1 = np.zeros(1)
+        feats = []
+        for i in range(n):
+            f = make_feature(
+                GEOM_POINT,
+                [(np.array([-77.0 + i * 0.01]), np.array([38.9]), z1)],
+                props_json=f'{{"i":{i}}}',
+                feature_seq=i,
+            )
+            f.num_points = 1
+            feats.append(f)
+        return create_feature_df(spark, features_to_pdf(feats), FEATURE_SCHEMA)
+
+    # (a) fuse_max_points=1 -> fuse_bound == 1 < raw 5 -> optimistic
+    # split at z0; tnp 5 <= index_max_points -> truly a leaf -> recovery
+    o = Options(index_max_zoom=7, index_max_points=200,
+                tile=TileOptions(), fuse_max_points=1)
+    idx = SparkGeoJSONVT(spark, pts_df(5), o, prefer_local=False)
+    assert idx.total == 1 and 0 in idx.stats
+    t = idx.get_tile(0, 0, 0)
+    assert len(t.features) == 5 and t.num_points == 5
+    # the leaf retained its source features: a drill below works
+    t1 = idx.get_tile(2, 0, 1)
+    assert t1 is not None  # drill executes off the retained leaf
+
+    # local-path cross-check: identical z0 tile feature count
+    idx_loc = SparkGeoJSONVT(spark, pts_df(5), o, prefer_local=True)
+    assert len(idx_loc.get_tile(0, 0, 0).features) == 5
+
+    # (b) empty input, fuse-all route (raw 0 <= default fuse_bound)
+    empty = pts_df(0)
+    e1 = SparkGeoJSONVT(
+        spark, empty,
+        Options(index_max_zoom=7, index_max_points=200, tile=TileOptions()),
+        prefer_local=False,
+    )
+    assert e1.total == 1 and len(e1.get_tile(0, 0, 0).features) == 0
+
+    # (b') empty input with a tiny fuse bound still routes through fuse
+    # (raw 0 <= bound) and must register the root all the same
+    e2 = SparkGeoJSONVT(
+        spark, empty,
+        Options(index_max_zoom=7, index_max_points=200,
+                tile=TileOptions(), fuse_max_points=1),
+        prefer_local=False,
+    )
+    assert e2.total == 1 and len(e2.get_tile(0, 0, 0).features) == 0

@@ -61,7 +61,7 @@ def run_level(cpus: int) -> dict:
 
     v0 = _cpu()
     t0 = time.time()
-    s = cp.run(feats, out_dir)
+    s = cp.run(feats, out_dir, raw_npts=N)
     build = time.time() - t0
     steal_build = _steal(v0, _cpu())
 

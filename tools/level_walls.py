@@ -41,7 +41,7 @@ def main():
     cp = CheckpointedPyramid(spark, Options())
     v0 = _cpu()
     t0 = time.time()
-    s = cp.run(feats, out_dir)
+    s = cp.run(feats, out_dir, raw_npts=N)
     build = time.time() - t0
     steal = _steal(v0, _cpu())
     t0 = time.time()
