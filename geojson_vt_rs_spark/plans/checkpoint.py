@@ -57,6 +57,25 @@ def _frontier_parts(n_rows: int, spark: SparkSession) -> int:
     return max(1, min(2 * cores, int(n_rows // 4000) + 1))
 
 
+def _cpu_ticks() -> tuple:
+    """(steal_ticks, total_ticks) from /proc/stat; (0, 0) off-Linux.
+    Each level manifest records its window's steal fraction so a slow
+    level is classifiable from the store alone (a 32-core z1 was
+    observed bimodal 9-17s across sessions — the slow runs track
+    elevated hypervisor steal, not GC; this pins that per level)."""
+    try:
+        with open("/proc/stat") as f:
+            vals = [int(v) for v in f.readline().split()[1:]]
+        return (vals[7] if len(vals) > 7 else 0), sum(vals)
+    except (OSError, ValueError, IndexError):
+        return 0, 0
+
+
+def _steal_frac(t0: tuple, t1: tuple) -> float:
+    d = t1[1] - t0[1]
+    return round((t1[0] - t0[0]) / d, 4) if d > 0 else 0.0
+
+
 def _manifest_path(out_dir: str, name: str) -> str:
     return os.path.join(out_dir, "_manifests", f"{name}.json")
 
@@ -304,6 +323,7 @@ class CheckpointedPyramid:
         prev_step2 = None
         while True:
             t0 = time.time()
+            tick0 = _cpu_ticks()
             stg_tiles, stg_leaves, fin_tiles, fin_leaves = _level_dirs(level)
             frontier = frontier.persist()
             turn_mode = first_mode if level == 0 else None
@@ -358,7 +378,8 @@ class CheckpointedPyramid:
                     dict(level=level, n_tiles=len(empty_rows),
                          n_tile_feature_rows=0, n_leaf_feature_rows=0,
                          n_children=0, pending_children=[],
-                         wall_sec=round(time.time() - t0, 3)),
+                         wall_sec=round(time.time() - t0, 3),
+                         steal_frac=_steal_frac(tick0, _cpu_ticks())),
                     fin_tiles,
                 )
                 frontier.unpersist()
@@ -467,7 +488,8 @@ class CheckpointedPyramid:
                         dict(level=level, n_tiles=0, n_tile_feature_rows=0,
                              n_leaf_feature_rows=0, n_children=0,
                              pending_children=[],
-                             wall_sec=round(time.time() - t0, 3)),
+                             wall_sec=round(time.time() - t0, 3),
+                         steal_frac=_steal_frac(tick0, _cpu_ticks())),
                         fin_tiles,
                     )
                     frontier.unpersist()
@@ -597,6 +619,7 @@ class CheckpointedPyramid:
                     n_children=int(n_children),
                     pending_children=pending_children,
                     wall_sec=round(time.time() - t0, 3),
+                    steal_frac=_steal_frac(tick0, _cpu_ticks()),
                 ),
                 fin_tiles,
                 fin_leaves,

@@ -55,6 +55,7 @@ def main():
         cpus=CPUS, n_points=N, build_sec=round(build, 2),
         build_steal_pct=round(100 * steal, 1),
         level_walls=[m["wall_sec"] for m in s["manifests"]],
+        level_steals=[m.get("steal_frac") for m in s["manifests"]],
         tiles=s["total_tiles"], target_tile_features=int(n_feat),
         cold_sec=round(cold, 2), warm_sec=round(warm, 3),
     )))
