@@ -567,3 +567,38 @@ def test_multi_drill_divergent_targets(spark, tmp_path):
         .count()
     )
     assert dup == 0
+
+
+def test_store_routes_identical_tiles(spark, tmp_path):
+    """The raw-gated level-0 routes (fuse-all subtree vs optimistic
+    render+split levels) lay the store out differently (one fused level
+    vs per-zoom levels) but every tile read back must be identical —
+    same tile set, same ordered features per tile."""
+    feats = read_geojson_features(
+        spark, "/root/reference/fixtures/us-states.json"
+    )
+    o_fuse = Options(max_zoom=14, index_max_zoom=3, index_max_points=200)
+    o_opt = Options(max_zoom=14, index_max_zoom=3, index_max_points=200,
+                    fuse_max_points=1)
+    out_a = str(tmp_path / "fuse")
+    out_b = str(tmp_path / "opt")
+    cp_a = CheckpointedPyramid(spark, o_fuse)
+    cp_b = CheckpointedPyramid(spark, o_opt)
+    sa = cp_a.run(feats, out_a)
+    sb = cp_b.run(feats, out_b)
+    assert sa["levels"] == 1  # raw 3539 <= fuse_bound -> one fused level
+    assert sb["levels"] >= 2  # optimistic split -> real per-zoom levels
+    assert sa["total_tiles"] == sb["total_tiles"] == 17
+
+    keys_a = sorted(cp_a._tile_keys(out_a))
+    keys_b = sorted(cp_b._tile_keys(out_b))
+    assert keys_a == keys_b
+
+    for z, x, y in keys_a:
+        ta = cp_a.read_tile(out_a, z, x, y).select(
+            "feature_idx", "type", "kind", "geometry_json", "tags_json"
+        ).toPandas()
+        tb = cp_b.read_tile(out_b, z, x, y).select(
+            "feature_idx", "type", "kind", "geometry_json", "tags_json"
+        ).toPandas()
+        assert ta.values.tolist() == tb.values.tolist(), (z, x, y)
