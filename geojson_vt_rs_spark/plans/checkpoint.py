@@ -325,8 +325,15 @@ class CheckpointedPyramid:
             t0 = time.time()
             tick0 = _cpu_ticks()
             stg_tiles, stg_leaves, fin_tiles, fin_leaves = _level_dirs(level)
-            frontier = frontier.persist()
             turn_mode = first_mode if level == 0 else None
+            # gated first turns have exactly ONE frontier consumer (the
+            # wave) — caching millions of wide converted rows there is
+            # pure peak-memory cost (a 4M-point build OOM'd an 8g heap
+            # when the optimistic wave filled frontier AND step2 caches
+            # in the same job).  The rare optimistic-leaf recovery
+            # recomputes the (small) frontier instead.
+            if turn_mode is None:
+                frontier = frontier.persist()
             first_mode = None
             if turn_mode is not None:
                 np_pdf = None

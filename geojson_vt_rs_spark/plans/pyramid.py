@@ -433,8 +433,12 @@ class SparkGeoJSONVT:
         next_np: Optional[pd.DataFrame] = None
         while True:
             _t0 = _time.time()
-            frontier = frontier.persist()
             turn_mode = first_mode if first else None
+            # gated first turns consume the frontier exactly once (the
+            # wave); skip the cache — the optimistic-leaf recovery
+            # recomputes the (small) frontier (see plans/checkpoint.py)
+            if turn_mode is None:
+                frontier = frontier.persist()
             if turn_mode is not None:
                 np_pdf = None
                 if turn_mode == "fuse":
