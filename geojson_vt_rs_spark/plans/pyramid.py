@@ -313,13 +313,17 @@ class SparkGeoJSONVT:
         # raw JVM sum over the input — cheap (no Python kernels) and it
         # lets the first level skip the expensive CONVERTED decision agg:
         # raw <= fuse_bound -> the root fuses outright; raw > fuse_bound
-        # -> optimistic split (decisions finish from in-wave partials)
-        npts = features_df.agg(F.sum("num_points")).collect()[0][0] or 0
+        # -> optimistic split (decisions finish from in-wave partials).
+        # Skipped when the caller forced prefer_local=True (unused there).
+        npts = None
         if prefer_local is None:
+            npts = features_df.agg(F.sum("num_points")).collect()[0][0] or 0
             prefer_local = npts <= self.LOCAL_THRESHOLD_POINTS
         if prefer_local:
             self._init_local(features_df)
             return
+        if npts is None:
+            npts = features_df.agg(F.sum("num_points")).collect()[0][0] or 0
 
         z2 = 1 << o.max_zoom
         wrapped = convert_wrap_stage(
