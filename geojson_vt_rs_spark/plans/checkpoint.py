@@ -396,7 +396,11 @@ class CheckpointedPyramid:
                 [(z, x, y, a) for z, x, y, a, _ in decisions],
                 "z int, x int, y int, action string",
             )
-            fr = frontier.join(F.broadcast(ddf), ["z", "x", "y"]).persist()
+            fr = frontier.join(F.broadcast(ddf), ["z", "x", "y"])
+            if turn_mode != "optimistic":
+                # optimistic turns feed fr to exactly one consumer (the
+                # wave) — same no-cache reasoning as the frontier above
+                fr = fr.persist()
 
             # ONE fused per-row pass renders non-fused tiles AND clips
             # split children (see plans/pyramid.py).  feature_idx is NOT

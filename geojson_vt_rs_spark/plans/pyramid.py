@@ -500,7 +500,11 @@ class SparkGeoJSONVT:
                 [(z, x, y, a) for z, x, y, a, _ in decisions],
                 "z int, x int, y int, action string",
             )
-            fr = frontier.join(F.broadcast(ddf), ["z", "x", "y"]).persist()
+            fr = frontier.join(F.broadcast(ddf), ["z", "x", "y"])
+            if turn_mode != "optimistic":
+                # optimistic turns feed fr to exactly one consumer (the
+                # wave) — same no-cache reasoning as the frontier above
+                fr = fr.persist()
 
             # ONE fused per-row pass renders every non-fused live tile AND
             # clips split-tile children (the VtFeature is built once; one
