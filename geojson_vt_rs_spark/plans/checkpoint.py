@@ -326,15 +326,16 @@ class CheckpointedPyramid:
             tick0 = _cpu_ticks()
             stg_tiles, stg_leaves, fin_tiles, fin_leaves = _level_dirs(level)
             turn_mode = first_mode if level == 0 else None
-            # gated first turns have exactly ONE frontier consumer (the
-            # wave) — caching millions of wide converted rows there is
-            # pure peak-memory cost (a 4M-point build OOM'd an 8g heap
-            # when the optimistic wave filled frontier AND step2 caches
-            # in the same job).  The rare optimistic-leaf recovery
-            # recomputes the (small) frontier instead.
-            if turn_mode is None:
-                frontier = frontier.persist()
             first_mode = None
+            # The frontier is cached ONLY when two consumers exist (the
+            # decision agg on resume entries + the fr build).  Everywhere
+            # else it has exactly one reader — the wave on gated first
+            # turns, fr's cache build on steady-state levels (whose rows
+            # already live in prev_step2's checkpoint) — and caching it
+            # was pure peak-memory cost: a 4M-point build OOM'd an 8g
+            # heap carrying prev_step2 + frontier + fr + step2 copies of
+            # the same features at once.  The rare optimistic-leaf
+            # recovery recomputes the (small) frontier instead.
             if turn_mode is not None:
                 np_pdf = None
                 if turn_mode == "fuse":
@@ -346,6 +347,7 @@ class CheckpointedPyramid:
                 np_pdf = next_np
                 next_np = None
             else:
+                frontier = frontier.persist()
                 np_pdf = (
                     frontier.groupBy("z", "x", "y")
                     .agg(F.sum("num_points").alias("tnp"))

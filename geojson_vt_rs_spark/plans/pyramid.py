@@ -438,11 +438,11 @@ class SparkGeoJSONVT:
         while True:
             _t0 = _time.time()
             turn_mode = first_mode if first else None
-            # gated first turns consume the frontier exactly once (the
-            # wave); skip the cache — the optimistic-leaf recovery
-            # recomputes the (small) frontier (see plans/checkpoint.py)
-            if turn_mode is None:
-                frontier = frontier.persist()
+            # The frontier is cached ONLY when the decision agg makes a
+            # second consumer (first turns without a gate, drill entry);
+            # gated first turns and steady-state levels have exactly one
+            # reader (the wave / fr's cache build over prev's checkpoint)
+            # — see plans/checkpoint.py for the 4M OOM this avoids
             if turn_mode is not None:
                 np_pdf = None
                 if turn_mode == "fuse":
@@ -454,6 +454,7 @@ class SparkGeoJSONVT:
                 np_pdf = next_np
                 next_np = None
             else:
+                frontier = frontier.persist()
                 np_pdf = (
                     frontier.groupBy("z", "x", "y")
                     .agg(F.sum("num_points").alias("tnp"))
