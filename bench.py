@@ -237,6 +237,40 @@ def run_vt_countries_traverse(max_z: int | None = None):
     return n, round(n / cold, 1), round(n / warm, 1)
 
 
+def run_single_tile_shapes():
+    """The reference's SingleTileIndex / SingleTileGeoJSONToTile shapes
+    (benches/benchmark.rs:114-151, fixtures/single-tile.json): repeated
+    warm get_tile(12,1171,1566) on an imz=7/imp=10000 index, and the
+    repeated one-shot geojson_to_tile(12,1171,1566, wrap=False,
+    clip=True) — both on the single-node core path Criterion's
+    single-thread harness is comparable to."""
+    from geojson_vt_rs_spark.config import Options, TileOptions
+    from geojson_vt_rs_spark.core.tiler import GeoJSONVT, geojson_to_tile
+    from geojson_vt_rs_spark.sources.geojson import load_geojson_file
+
+    feats = load_geojson_file("/root/reference/fixtures/single-tile.json")
+    idx = GeoJSONVT(
+        feats, Options(index_max_zoom=7, index_max_points=10000)
+    )
+    idx.get_tile(12, 1171, 1566)  # first call drills; steady state after
+    n = 20000
+    t0 = time.time()
+    for _ in range(n):
+        idx.get_tile(12, 1171, 1566)
+    index_lps = n / (time.time() - t0)
+    geojson_to_tile(
+        feats, 12, 1171, 1566, TileOptions(), wrap_=False, clip_=True
+    )
+    n2 = 200
+    t0 = time.time()
+    for _ in range(n2):
+        geojson_to_tile(
+            feats, 12, 1171, 1566, TileOptions(), wrap_=False, clip_=True
+        )
+    to_tile_ps = n2 / (time.time() - t0)
+    return round(index_lps, 1), round(to_tile_ps, 1)
+
+
 def _run_headline(spark, sf_dir):
     import __spark_entry__ as em
 
@@ -328,6 +362,9 @@ def main():
     out["countries_traverse_lookups"] = n_lookups
     out["countries_traverse_cold_lookups_per_sec"] = cold_lps
     out["countries_traverse_warm_lookups_per_sec"] = warm_lps
+    st_lps, st_tps = run_single_tile_shapes()
+    out["single_tile_index_lookups_per_sec"] = st_lps
+    out["single_tile_to_tile_per_sec"] = st_tps
     steal1, total1 = _read_cpu_ticks()
     out["steal_frac"] = round(
         (steal1 - steal0) / max(1, total1 - total0), 4
