@@ -559,6 +559,39 @@ def q_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END training-corpus curation funnel as one declarative
+    query: quality gate (integer-exact predicates: >= 5 tokens AND punct
+    under 20%% of chars) -> near-dup resolution (minhash LSH edges ->
+    connected components) -> per-language retention stats.  A document
+    is KEPT when it passes quality AND is its cluster's canonical
+    (doc_id == cluster_id).  Every stage shuffles on keys (no
+    broadcast-size assumptions); the oracle composes the text-feature
+    exprs with the recursive-CTE components twin."""
+    from geojson_vt_rs_spark.operators.components import dedup_clusters
+    from geojson_vt_rs_spark.operators.text_dedup import with_text_features
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    feats = with_text_features(docs).select(
+        "doc_id", "lang", "n_tokens", "n_punct", "n_chars"
+    )
+    cl = dedup_clusters(docs)
+    j = feats.join(cl, "doc_id")
+    q = (
+        (F.col("n_tokens") >= 5) & (F.col("n_punct") * 5 <= F.col("n_chars"))
+    ).cast("long")
+    canon = (F.col("cluster_id") == F.col("doc_id")).cast("long")
+    return (
+        j.select("lang", q.alias("q"), (q * canon).alias("qk"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum("q").alias("n_quality"),
+            F.sum("qk").alias("n_kept"),
+        )
+    )
+
+
 def q_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-blocked (the scale
     path): 16-bit sketch hamming <= 4 via pigeonhole band equi-joins,
@@ -953,6 +986,31 @@ def _sql_dedup_canonical() -> str:
     return duck_dedup_canonical_sql()
 
 
+def _sql_corpus_retention() -> str:
+    from geojson_vt_rs_spark.operators.components import (
+        duck_dedup_clusters_sql,
+    )
+    from geojson_vt_rs_spark.operators.text_dedup import (
+        duck_text_features_exprs,
+    )
+
+    e = duck_text_features_exprs()
+    return (
+        f"WITH cl AS ({duck_dedup_clusters_sql()}), "
+        f"f AS (SELECT doc_id, lang, {e['n_tokens']} AS n_tokens, "
+        f"{e['n_punct']} AS n_punct, {e['n_chars']} AS n_chars "
+        "FROM documents), "
+        "j AS (SELECT f.lang, "
+        "CASE WHEN f.n_tokens >= 5 AND f.n_punct * 5 <= f.n_chars "
+        "THEN 1 ELSE 0 END AS q, "
+        "CASE WHEN c.cluster_id = f.doc_id THEN 1 ELSE 0 END AS canon "
+        "FROM f JOIN cl c ON c.doc_id = f.doc_id) "
+        "SELECT lang, CAST(count(*) AS BIGINT) AS n_total, "
+        "CAST(sum(q) AS BIGINT) AS n_quality, "
+        "CAST(sum(q * canon) AS BIGINT) AS n_kept FROM j GROUP BY 1"
+    )
+
+
 def _sql_simhash() -> str:
     from geojson_vt_rs_spark.operators.text_dedup import duck_simhash_sql
 
@@ -1038,6 +1096,7 @@ def _raw_queries() -> dict:
         "lang_id": q_lang_id,
         "quality_scores": q_quality_scores,
         "fingerprint_dups": q_fingerprint_dups,
+        "corpus_retention": q_corpus_retention,
         "cosine_near_dup": q_cosine_near_dup,
         "event_windows": q_event_windows,
         "image_stats": q_image_stats,
@@ -1084,6 +1143,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _sql_lang_id(),
         "quality_scores": _sql_quality(),
         "fingerprint_dups": SQL_FINGERPRINT,
+        "corpus_retention": _sql_corpus_retention(),
         "cosine_near_dup": _sql_cosine_near_dup(),
         "event_windows": SQL_EVENT_WINDOWS,
         "image_stats": _sql_image_stats(),
