@@ -288,79 +288,44 @@ def encode_jpeg(rgb: np.ndarray, quality: int = 98) -> bytes:
     return bytes(out)
 
 
-class _BitReader:
-    """Entropy-segment reader: destuffs ONCE (numpy pass), then serves
-    peek/consume over an int accumulator — the per-bit Python loop was
-    the dominant decode cost (7.5 ms/image)."""
-
-    def __init__(self, data: bytes):
-        arr = np.frombuffer(data, dtype=np.uint8)
-        ff = np.nonzero(arr[:-1] == 0xFF)[0]
-        stuffed = ff[arr[ff + 1] == 0x00] + 1  # the 0x00 bytes to drop
-        markers = ff[arr[ff + 1] != 0x00]
-        end = int(markers.min()) if len(markers) else len(arr)
-        keep = np.ones(end, dtype=bool)
-        keep[stuffed[stuffed < end]] = False
-        self.data = arr[:end][keep].tobytes()
-        self.nlen = len(self.data)
-        self.pos = 0
-        self.acc = 0
-        self.nbits = 0
-
-    def _need(self, n: int):
-        while self.nbits < n:
-            b = self.data[self.pos] if self.pos < self.nlen else 0
-            self.pos += 1
-            self.acc = (self.acc << 8) | b
-            self.nbits += 8
-
-    def peek16(self) -> int:
-        self._need(16)
-        return (self.acc >> (self.nbits - 16)) & 0xFFFF
-
-    def consume(self, n: int):
-        self.nbits -= n
-        self.acc &= (1 << self.nbits) - 1
-
-    def get(self, n: int) -> int:
-        if n == 0:
-            return 0
-        self._need(n)
-        v = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
-        self.consume(n)
-        return v
-
-
-def _extend(bits: int, cat: int) -> int:
-    if cat == 0:
-        return 0
-    return bits if bits >= (1 << (cat - 1)) else bits - (1 << cat) + 1
+def _destuff(data: bytes) -> bytes:
+    """Entropy segment up to the first real marker, 0xFF00 stuffing
+    removed — one numpy pass (the per-byte Python loop was the original
+    dominant decode cost)."""
+    arr = np.frombuffer(data, dtype=np.uint8)
+    ff = np.nonzero(arr[:-1] == 0xFF)[0]
+    stuffed = ff[arr[ff + 1] == 0x00] + 1  # the 0x00 bytes to drop
+    markers = ff[arr[ff + 1] != 0x00]
+    end = int(markers.min()) if len(markers) else len(arr)
+    keep = np.ones(end, dtype=bool)
+    keep[stuffed[stuffed < end]] = False
+    return arr[:end][keep].tobytes()
 
 
 _DEC_TABLE_CACHE: dict = {}
 
 
 def _prefix_table(bits, values):
-    """Canonical Huffman -> 16-bit-prefix lookup (symbol, codelen) —
-    one array index per symbol instead of a per-bit tree walk.  Cached
+    """Canonical Huffman -> 16-bit-prefix lookup packed as ONE Python
+    list of (codelen << 8 | symbol) ints — a single list index + two
+    shifts per symbol in the scan loop (np arrays cost a scalar-boxing
+    conversion per lookup).  codelen 0 marks an invalid prefix.  Cached
     per table spec (the Annex K tables recur across every image)."""
     key = (tuple(bits), tuple(values))
     t = _DEC_TABLE_CACHE.get(key)
     if t is None:
-        sym = np.zeros(1 << 16, dtype=np.int16)
-        ln = np.zeros(1 << 16, dtype=np.int8)
+        packed = np.zeros(1 << 16, dtype=np.int32)
         code = 0
         k = 0
         for length in range(1, 17):
             for _ in range(bits[length - 1]):
                 base = code << (16 - length)
                 span = 1 << (16 - length)
-                sym[base : base + span] = values[k]
-                ln[base : base + span] = length
+                packed[base : base + span] = (length << 8) | values[k]
                 code += 1
                 k += 1
             code <<= 1
-        t = (sym, ln)
+        t = packed.tolist()
         _DEC_TABLE_CACHE[key] = t
     return t
 
@@ -373,7 +338,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         raise ValueError("not a JPEG (missing SOI)")
     try:
         return _decode_jpeg_body(data)
-    except (IndexError, struct.error) as e:
+    except (IndexError, KeyError, struct.error) as e:
+        # KeyError = scan references a quant/Huffman table id the corrupt
+        # stream never defined
         raise ValueError("invalid JPEG: truncated stream") from e
 
 
@@ -432,7 +399,16 @@ def _decode_jpeg_body(data: bytes) -> np.ndarray:
     if scan is None or not comps:
         raise ValueError("invalid JPEG: missing SOF/SOS")
 
-    br = _BitReader(data[pos:])
+    # Scan loop: everything lives in LOCAL ints — a 64-bit-word refilled
+    # accumulator and ONE 32-bit peek per symbol that decodes the Huffman
+    # code and its magnitude bits together (codelen <= 16 plus cat <= 11
+    # -> <= 27 bits).  The former peek16/consume/get method calls cost 3
+    # Python calls per symbol and dominated decode (~2.7 ms/image on the
+    # 32x32 bench shapes; this loop runs ~1 ms).
+    stream = _destuff(data[pos:])
+    padlen = (-len(stream)) % 8 + 8  # zero tail == the old past-end reads
+    words = np.frombuffer(stream + b"\x00" * padlen, dtype=">u8").tolist()
+    nwords = len(words)
     ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
     nby, nbx = ph // 8, pw // 8
     dctabs = {cid: hts[tabs >> 4] for cid, tabs in scan}
@@ -440,45 +416,81 @@ def _decode_jpeg_body(data: bytes) -> np.ndarray:
     qtabs = {cid: qt[tq] for cid, _, tq in comps}
     prev = {cid: 0 for cid, _, _ in comps}
     n_blocks = nby * nbx * len(comps)
-    all_zz = np.zeros((n_blocks, 64), dtype=np.int64)
-    qrows = np.empty((n_blocks, 64), dtype=np.int64)
-    bi = 0
-    peek16 = br.peek16
-    consume = br.consume
-    get = br.get
-    for _by in range(nby):
-        for _bx in range(nbx):
-            for cid, _, _ in comps:
-                dsym, dln = dctabs[cid]
-                asym, aln = actabs[cid]
-                zz = all_zz[bi]
-                qrows[bi] = qtabs[cid]
-                p = peek16()
-                cat = int(dsym[p])
-                length = int(dln[p])
+    scan_tabs = [(cid, dctabs[cid], actabs[cid]) for cid, _, _ in comps]
+    # nonzero coefficients batch into ONE fancy-index store per image
+    idxs: list = []
+    vals: list = []
+    iap = idxs.append
+    vap = vals.append
+    acc = 0
+    nbits = 0
+    wi = 0
+    base = 0
+    for _mcu in range(nby * nbx):
+        for cid, dtab, atab in scan_tabs:
+            if nbits < 32:
+                acc = ((acc & ((1 << nbits) - 1)) << 64) | (
+                    words[wi] if wi < nwords else 0
+                )
+                wi += 1
+                nbits += 64
+            p32 = (acc >> (nbits - 32)) & 0xFFFFFFFF
+            e = dtab[p32 >> 16]
+            length = e >> 8
+            cat = e & 0xFF
+            # length 0 = invalid prefix; cat > 16 only from a corrupt DHT
+            # (baseline DC categories stop at 11) and would turn the
+            # single-peek shift negative
+            if length == 0 or length + cat > 32:
+                raise ValueError("invalid JPEG: bad Huffman code")
+            bits_ = (p32 >> (32 - length - cat)) & ((1 << cat) - 1)
+            nbits -= length + cat
+            if cat and bits_ < (1 << (cat - 1)):
+                bits_ -= (1 << cat) - 1
+            dc = prev[cid] + bits_
+            prev[cid] = dc
+            if dc:
+                iap(base)
+                vap(dc)
+            k = 1
+            while k < 64:
+                if nbits < 32:
+                    acc = ((acc & ((1 << nbits) - 1)) << 64) | (
+                        words[wi] if wi < nwords else 0
+                    )
+                    wi += 1
+                    nbits += 64
+                p32 = (acc >> (nbits - 32)) & 0xFFFFFFFF
+                e = atab[p32 >> 16]
+                length = e >> 8
                 if length == 0:
                     raise ValueError("invalid JPEG: bad Huffman code")
-                consume(length)
-                prev[cid] += _extend(get(cat), cat)
-                zz[0] = prev[cid]
-                k = 1
-                while k < 64:
-                    p = peek16()
-                    rs = int(asym[p])
-                    length = int(aln[p])
-                    if length == 0:
-                        raise ValueError("invalid JPEG: bad Huffman code")
-                    consume(length)
-                    r, s = rs >> 4, rs & 0x0F
-                    if s == 0:
-                        if r == 15:
-                            k += 16  # ZRL
-                            continue
-                        break  # EOB
-                    k += r
-                    zz[k] = _extend(get(s), s)
-                    k += 1
-                bi += 1
+                rs = e & 0xFF
+                s = rs & 0x0F
+                if s == 0:
+                    nbits -= length
+                    if rs == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    break  # EOB
+                bits_ = (p32 >> (32 - length - s)) & ((1 << s) - 1)
+                nbits -= length + s
+                k += rs >> 4
+                if k > 63:  # corrupt run length (old path: IndexError)
+                    raise ValueError("invalid JPEG: truncated stream")
+                if bits_ < (1 << (s - 1)):
+                    bits_ -= (1 << s) - 1
+                iap(base + k)
+                vap(bits_)
+                k += 1
+            base += 64
+    all_zz = np.zeros((n_blocks, 64), dtype=np.int64)
+    if idxs:
+        all_zz.ravel()[idxs] = vals
+    qrows = np.tile(
+        np.stack([qtabs[cid] for cid, _, _ in comps]).astype(np.int64),
+        (nby * nbx, 1),
+    )
     # dezigzag + dequantize + IDCT for ALL blocks in three numpy passes
     nat = np.zeros((n_blocks, 64), dtype=np.int64)
     nat[:, _ZIGZAG] = all_zz
