@@ -106,6 +106,18 @@ def convert_wrap_stage(
     Antimeridian-buffer points and everything else take the per-feature
     path; elementwise math is identical (same project_points call), so
     goldens are unaffected."""
+    return df.mapInPandas(
+        _convert_wrap_kernel(tolerance, generate_id, buffer, line_metrics),
+        schema=FEATURE_SCHEMA,
+    )
+
+
+def _convert_wrap_kernel(
+    tolerance: float, generate_id: bool, buffer: float, line_metrics: bool
+):
+    """The convert+wrap pandas kernel (see convert_wrap_stage) as a
+    reusable generator factory — the first-turn wave fuses it in front of
+    the render/split kernel."""
     from geojson_vt_rs_spark.core.geom import GEOM_POINT
     from geojson_vt_rs_spark.core.project import project_points
 
@@ -186,7 +198,7 @@ def convert_wrap_stage(
                         out.append(feature_to_row(g))
             yield pd.DataFrame(out, columns=FEATURE_COLS)
 
-    return df.mapInPandas(kernel, schema=FEATURE_SCHEMA)
+    return kernel
 
 
 def wrap_stage(df: DataFrame, buffer: float, line_metrics: bool) -> DataFrame:
@@ -813,6 +825,15 @@ def render_split_stage(
     the INPUT tiles' own point sums as RS_CAGG rows with sub_idx = -1 —
     the optimistic first wave decides leaf-vs-split AFTER rendering from
     these, so the first level needs no separate decision agg job."""
+    return df.mapInPandas(
+        _render_split_kernel(options, emit_parent_cagg), schema=RS_SCHEMA
+    )
+
+
+def _render_split_kernel(options: Options, emit_parent_cagg: bool = False):
+    """The render/split pandas kernel (see render_split_stage) as a
+    reusable generator factory — composable behind the convert+wrap
+    kernel for the fused first-turn wave."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         body = _rs_body(options)
@@ -840,6 +861,46 @@ def render_split_stage(
             for part in parts:
                 if len(part):
                     yield part[RS_COLS]
+
+    return kernel
+
+
+def convert_wrap_render_split_stage(
+    df: DataFrame,
+    tolerance: float,
+    generate_id: bool,
+    buffer: float,
+    line_metrics: bool,
+    options: Options,
+    root: tuple = (0, 0, 0),
+) -> DataFrame:
+    """The ENTIRE optimistic first turn as ONE Python pass: raw features
+    -> convert+wrap -> render root + clip children (+ parent RS_CAGG
+    partials).  Composing the two kernels inside one mapInPandas saves a
+    full-table Arrow round-trip at the pipeline head (consecutive
+    mapInPandas operators each pay JVM->worker->JVM serde even within a
+    stage), and the constant (z, x, y, action='split') columns the
+    decision join used to add are synthesized in-kernel — byte-identical
+    output to render_split_stage(frontier JOIN decisions) because the
+    optimistic decision table is the single row (root, 'split')."""
+    cw = _convert_wrap_kernel(tolerance, generate_id, buffer, line_metrics)
+    rs = _render_split_kernel(options, emit_parent_cagg=True)
+    rz, rx, ry = root
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def tiled() -> Iterator[pd.DataFrame]:
+            for pdf in cw(batches):
+                n = len(pdf)
+                if n == 0:
+                    continue
+                pdf = pdf.copy(deep=False)
+                pdf.insert(0, "z", np.full(n, rz, dtype=np.int32))
+                pdf.insert(1, "x", np.full(n, rx, dtype=np.int32))
+                pdf.insert(2, "y", np.full(n, ry, dtype=np.int32))
+                pdf["action"] = "split"
+                yield pdf
+
+        yield from rs(tiled())
 
     return df.mapInPandas(kernel, schema=RS_SCHEMA)
 

@@ -253,17 +253,28 @@ class CheckpointedPyramid:
                     os.path.join(out_dir, "frontier", f"level_{level}")
                 )
         first_mode = None
+        first_wave = None
         if level == 0:
             z2 = 1 << o.max_zoom
-            wrapped = convert_wrap_stage(
-                features_df,
+            cw_args = (
                 (o.tile.tolerance / o.tile.extent) / z2,
                 o.generate_id,
                 o.tile.buffer / o.tile.extent,
                 o.tile.line_metrics,
             )
+            wrapped = convert_wrap_stage(features_df, *cw_args)
             frontier = wrapped.select(
                 F.lit(0).alias("z"), F.lit(0).alias("x"), F.lit(0).alias("y"), "*"
+            )
+            # lazy fused convert+wrap+render+split plan for the
+            # optimistic first turn (one Arrow pass instead of two);
+            # `frontier` stays the mispredicted-leaf recovery source
+            from geojson_vt_rs_spark.operators.pipeline import (
+                convert_wrap_render_split_stage,
+            )
+
+            first_wave = convert_wrap_render_split_stage(
+                features_df, *cw_args, options=o
             )
             if raw_npts is None:
                 raw_npts = int(
@@ -412,10 +423,15 @@ class CheckpointedPyramid:
             # Instead the deterministic order-key columns are persisted
             # and read_tile derives feature_idx per tile (trivial there —
             # one tile's rows).
-            step2 = render_split_stage(
-                fr.filter(F.col("action") != "fuse"), o,
-                emit_parent_cagg=(turn_mode == "optimistic"),
-            ).localCheckpoint(eager=False)  # truncate cross-level lineage
+            if turn_mode == "optimistic" and first_wave is not None:
+                # fused convert+wrap+render+split plan over the RAW input
+                # (one Arrow pass; fr is bypassed on this turn)
+                step2 = first_wave.localCheckpoint(eager=False)
+            else:
+                step2 = render_split_stage(
+                    fr.filter(F.col("action") != "fuse"), o,
+                    emit_parent_cagg=(turn_mode == "optimistic"),
+                ).localCheckpoint(eager=False)  # truncate cross-level lineage
             rend = step2.filter(F.col("row_kind") == RS_RENDER)
             split_parents = [
                 (z, x, y) for z, x, y, a, _ in decisions if a == "split"

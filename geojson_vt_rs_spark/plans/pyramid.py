@@ -44,7 +44,10 @@ from geojson_vt_rs_spark.config import Options
 from geojson_vt_rs_spark.core.clip import clip_feature
 from geojson_vt_rs_spark.core.tile import TileEmitter
 from geojson_vt_rs_spark.core.tiler import to_id
-from geojson_vt_rs_spark.operators.pipeline import convert_wrap_stage
+from geojson_vt_rs_spark.operators.pipeline import (
+    convert_wrap_render_split_stage,
+    convert_wrap_stage,
+)
 from geojson_vt_rs_spark.operators.schema import (
     FEATURE_FIELDS,
     TILED_FEATURE_SCHEMA,
@@ -326,17 +329,26 @@ class SparkGeoJSONVT:
             npts = features_df.agg(F.sum("num_points")).collect()[0][0] or 0
 
         z2 = 1 << o.max_zoom
-        wrapped = convert_wrap_stage(
-            features_df,
+        cw_args = (
             (o.tile.tolerance / o.tile.extent) / z2,
             o.generate_id,
             o.tile.buffer / o.tile.extent,
             o.tile.line_metrics,
         )
+        wrapped = convert_wrap_stage(features_df, *cw_args)
         frontier = wrapped.select(
             F.lit(0).alias("z"), F.lit(0).alias("x"), F.lit(0).alias("y"), "*"
         )
-        self._run(frontier, 0, 0, 0, 0, 0, 0, raw_npts=int(npts))
+        # lazy fused convert+wrap+render+split plan for the optimistic
+        # first turn (one Arrow pass instead of two); `frontier` stays
+        # the recovery/mispredicted-leaf source
+        first_wave = convert_wrap_render_split_stage(
+            features_df, *cw_args, options=o
+        )
+        self._run(
+            frontier, 0, 0, 0, 0, 0, 0, raw_npts=int(npts),
+            first_wave=first_wave,
+        )
 
     # ------------------------------------------------------------------
     def _init_local(self, features_df: DataFrame) -> None:
@@ -387,7 +399,7 @@ class SparkGeoJSONVT:
         return "split"
 
     def _run(self, frontier: DataFrame, rz, rx, ry, cz, cx, cy,
-             raw_npts=None):
+             raw_npts=None, first_wave=None):
         """One pyramid level per loop turn, decision-first:
 
         1. per-tile num_points via a JVM partial+final agg (the ONLY
@@ -518,14 +530,19 @@ class SparkGeoJSONVT:
             # each level's logical plan embeds every previous level's and
             # analysis cost compounds (measured 4x wall blowup by z5 on a
             # no-fuse us-states build)
-            step2 = (
-                render_split_stage(
-                    nonfuse, o,
-                    emit_parent_cagg=(turn_mode == "optimistic"),
-                ).localCheckpoint(eager=False)
-                if has_nonfuse
-                else None
-            )
+            if turn_mode == "optimistic" and first_wave is not None:
+                # fused convert+wrap+render+split plan over the RAW input
+                # (one Arrow pass; fr is bypassed on this turn)
+                step2 = first_wave.localCheckpoint(eager=False)
+            else:
+                step2 = (
+                    render_split_stage(
+                        nonfuse, o,
+                        emit_parent_cagg=(turn_mode == "optimistic"),
+                    ).localCheckpoint(eager=False)
+                    if has_nonfuse
+                    else None
+                )
 
             # the level's three collections are INDEPENDENT Spark actions
             # (render rows from step2; fused subtrees and leaf retention
