@@ -559,6 +559,110 @@ def q_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-bucket train/val/test assignment (90/5/5) ->
+    per-(split, lang) doc counts + char volume.  The split is a pure
+    row-local md5 function of doc_id (operators/sampling.py): no RNG, no
+    shuffle, identical on every engine/parallelism/re-run — the
+    reproducible-sharding primitive of a training-data pipeline."""
+    from geojson_vt_rs_spark.operators.sampling import assign_split
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        assign_split(docs)
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
+def _sql_dataset_split() -> str:
+    from geojson_vt_rs_spark.operators.sampling import duck_split_case
+
+    return (
+        "SELECT split, lang, count(*) AS n_docs, "
+        "CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM ("
+        f"SELECT lang, n_chars, {duck_split_case('doc_id')} AS split "
+        "FROM documents) GROUP BY 1, 2"
+    )
+
+
+_MIX_RATES = {"en": 0.3}
+
+
+def q_stratified_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture re-weighting: deterministically downsample the dominant
+    language (en kept at 30%, others at 100%) by per-stratum hash-bucket
+    rates -> per-language kept counts + volumes.  The keep predicate is
+    a pure JVM expression Catalyst pushes into the parquet scan."""
+    from geojson_vt_rs_spark.operators.sampling import stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kept = stratified_sample(docs, "lang", _MIX_RATES)
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+def _sql_stratified_mix() -> str:
+    from geojson_vt_rs_spark.operators.sampling import duck_sample_pred
+
+    return (
+        "SELECT lang, count(*) AS n_kept, "
+        "CAST(sum(n_chars) AS BIGINT) AS sum_chars "
+        f"FROM documents WHERE {duck_sample_pred('lang', _MIX_RATES)} "
+        "GROUP BY 1"
+    )
+
+
+_QUOTA_K = 40
+
+
+def q_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota cap: keep at most 40 docs per source, best-first
+    by (n_tokens DESC, doc_id) — exact salted two-phase top-k per group
+    (operators/sampling.py quota_cap; a billion-page domain ranks in 16
+    independent salt lanes, never one task) -> per-source kept stats."""
+    from geojson_vt_rs_spark.operators.sampling import quota_cap
+    from geojson_vt_rs_spark.operators.text_dedup import with_text_features
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    feats = with_text_features(docs).select("doc_id", "source", "n_tokens")
+    kept = quota_cap(
+        feats,
+        ["source"],
+        [F.col("n_tokens").desc(), F.col("doc_id").asc()],
+        k=_QUOTA_K,
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.min("n_tokens").alias("min_tokens"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+def _sql_domain_quota() -> str:
+    from geojson_vt_rs_spark.operators.text_dedup import (
+        duck_text_features_exprs,
+    )
+
+    e = duck_text_features_exprs()
+    return (
+        "SELECT source, count(*) AS n_kept, "
+        "CAST(sum(n_tokens) AS BIGINT) AS sum_tokens, "
+        "CAST(min(n_tokens) AS BIGINT) AS min_tokens, "
+        "max(doc_id) AS max_doc FROM ("
+        "SELECT source, doc_id, n_tokens, row_number() OVER ("
+        "PARTITION BY source ORDER BY n_tokens DESC, doc_id) AS rk FROM ("
+        f"SELECT source, doc_id, {e['n_tokens']} AS n_tokens FROM documents"
+        f")) WHERE rk <= {_QUOTA_K} GROUP BY 1"
+    )
+
+
 def q_corpus_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The END-TO-END training-corpus curation funnel as one declarative
     query: quality gate (integer-exact predicates: >= 5 tokens AND punct
@@ -1096,6 +1200,9 @@ def _raw_queries() -> dict:
         "lang_id": q_lang_id,
         "quality_scores": q_quality_scores,
         "fingerprint_dups": q_fingerprint_dups,
+        "dataset_split": q_dataset_split,
+        "stratified_mix": q_stratified_mix,
+        "domain_quota": q_domain_quota,
         "corpus_retention": q_corpus_retention,
         "cosine_near_dup": q_cosine_near_dup,
         "event_windows": q_event_windows,
@@ -1143,6 +1250,9 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _sql_lang_id(),
         "quality_scores": _sql_quality(),
         "fingerprint_dups": SQL_FINGERPRINT,
+        "dataset_split": _sql_dataset_split(),
+        "stratified_mix": _sql_stratified_mix(),
+        "domain_quota": _sql_domain_quota(),
         "corpus_retention": _sql_corpus_retention(),
         "cosine_near_dup": _sql_cosine_near_dup(),
         "event_windows": SQL_EVENT_WINDOWS,

@@ -1,0 +1,120 @@
+"""Curation operator invariants (operators/sampling.py): split totality
+and determinism, stratified-sample containment, and quota_cap exactness
+(salted two-phase rank == plain single-window top-k)."""
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from geojson_vt_rs_spark.operators.sampling import (
+    N_BUCKETS,
+    assign_split,
+    hash_bucket,
+    quota_cap,
+    split_thresholds,
+    stratified_sample,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def test_split_total_and_deterministic(spark):
+    docs = _docs(spark)
+    n = docs.count()
+    d = assign_split(docs)
+    # total: every row gets exactly one split, no nulls
+    per = {
+        r["split"]: r["count"] for r in d.groupBy("split").count().collect()
+    }
+    assert sum(per.values()) == n and None not in per
+    assert set(per) <= {"train", "val", "test"}
+    # ~90/5/5 within hash noise
+    assert abs(per["train"] / n - 0.9) < 0.05
+    # deterministic: re-running and re-partitioning yields identical rows
+    a = sorted(d.select("doc_id", "split").collect())
+    b = sorted(
+        assign_split(docs.repartition(7)).select("doc_id", "split").collect()
+    )
+    assert a == b
+
+
+def test_split_thresholds_absorb_rounding():
+    ts = split_thresholds((("a", 0.333), ("b", 0.333), ("c", 0.334)))
+    assert ts[-1][1] == N_BUCKETS
+
+
+def test_stratified_sample_containment(spark):
+    docs = _docs(spark)
+    kept = stratified_sample(docs, "lang", {"en": 0.3})
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    all_rows = docs.select("doc_id", "lang").collect()
+    # non-en strata untouched; en subset is a deterministic bucket cut
+    non_en = {r["doc_id"] for r in all_rows if r["lang"] != "en"}
+    assert non_en <= kept_ids
+    en_total = sum(1 for r in all_rows if r["lang"] == "en")
+    en_kept = len(kept_ids) - len(non_en)
+    assert 0 < en_kept < en_total
+    assert abs(en_kept / en_total - 0.3) < 0.1
+    # subset property: a lower rate keeps a subset of a higher rate
+    kept_lo = {
+        r["doc_id"]
+        for r in stratified_sample(docs, "lang", {"en": 0.1})
+        .select("doc_id")
+        .collect()
+    }
+    assert kept_lo <= kept_ids
+
+
+def test_quota_cap_exact_vs_plain_window(spark):
+    docs = _docs(spark).select(
+        "doc_id", "source", F.length("text").alias("n")
+    )
+    order = [F.col("n").desc(), F.col("doc_id").asc()]
+    got = quota_cap(docs, ["source"], order, k=7, n_salts=4)
+    w = Window.partitionBy("source").orderBy(*order)
+    want = (
+        docs.withColumn("_rank", F.row_number().over(w))
+        .filter(F.col("_rank") <= 7)
+    )
+    a = sorted(got.select("doc_id", "source", "_rank").collect())
+    b = sorted(want.select("doc_id", "source", "_rank").collect())
+    assert a == b and len(a) > 0
+
+
+def test_quota_cap_exact_under_skew(spark):
+    # one giant group + singleton groups; k smaller and larger than groups
+    rows = [(i, "big", i % 13) for i in range(500)] + [
+        (1000 + i, f"s{i}", i) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n long")
+    order = [F.col("n").desc(), F.col("doc_id").asc()]
+    for k in (3, 10):
+        got = sorted(
+            quota_cap(df, ["source"], order, k=k, n_salts=8)
+            .select("doc_id", "source")
+            .collect()
+        )
+        w = Window.partitionBy("source").orderBy(*order)
+        want = sorted(
+            df.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= k)
+            .select("doc_id", "source")
+            .collect()
+        )
+        assert got == want
+
+
+def test_hash_bucket_range(spark):
+    docs = _docs(spark)
+    r = docs.select(
+        F.min(hash_bucket(F.col("doc_id"), "s")).alias("lo"),
+        F.max(hash_bucket(F.col("doc_id"), "s")).alias("hi"),
+    ).collect()[0]
+    assert 0 <= r["lo"] and r["hi"] < N_BUCKETS

@@ -86,6 +86,28 @@ AUDITS = {
         ("HashAggregate", "partial aggregation"),
         ("ReadSchema", "pruned scan"),
     ],
+    "dataset_split": [
+        ("!BatchEvalPython|ArrowEvalPython|PythonUDF|MapInPandas",
+         "split assignment is one md5 JVM expression per row"),
+        ("HashAggregate", "partial+final per-(split,lang) agg"),
+        ("!ReadSchema.*text", "text column pruned from the scan"),
+        ("!Window", "no window — split is row-local"),
+    ],
+    "stratified_mix": [
+        ("!BatchEvalPython|ArrowEvalPython|PythonUDF|MapInPandas",
+         "keep predicate is a pure JVM expression"),
+        ("HashAggregate", "partial aggregation"),
+        ("!ReadSchema.*text", "text column pruned from the scan"),
+        ("!Exchange.*(?i:filter)", "filter evaluated scan-side, not post-shuffle"),
+    ],
+    "domain_quota": [
+        ("windowspecdefinition\\(source",
+         "ranking windows PARTITIONED by group (salt lane then survivor "
+         "re-rank) — never an unpartitioned global sort"),
+        ("!BatchEvalPython|ArrowEvalPython|PythonUDF|MapInPandas",
+         "token counts + ranks are pure JVM"),
+        ("!rangepartitioning", "no global range-sort"),
+    ],
     "winnow_pairs": [
         ("BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin",
          "shared-fingerprint equi-join (complete blocking, no cross product)"),
@@ -121,7 +143,8 @@ def main():
     for name in ["cell_assign", "pip_join", "knn_join", "minhash_pairs",
                  "ann_topk", "ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk",
                  "cosine_near_dup", "simhash_near_pairs", "phash_near_dups",
-                 "token_stats", "winnow_pairs"]:
+                 "token_stats", "winnow_pairs", "dataset_split",
+                 "stratified_mix", "domain_quota"]:
         df = qs[name](spark, SF)
         plan = plan_of(df)
         out.append(f"\n## {name}\n")
