@@ -663,6 +663,45 @@ def _sql_domain_quota() -> str:
     )
 
 
+_PACK_BUDGET = 20_000
+
+
+def q_token_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix budget fill: keep documents per language, in
+    deterministic hash order, until each language's running token total
+    reaches 20k — an EXACT distributed prefix-sum (coarse-range partial
+    sums + broadcast offsets + intra-range windows; operators/
+    sampling.py pack_to_budget), so no language ever sorts in one task.
+    Oracle = the plain single-window cumulative sum it equals row-for-row."""
+    from geojson_vt_rs_spark.operators.sampling import pack_to_budget
+    from geojson_vt_rs_spark.operators.text_dedup import with_text_features
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    feats = with_text_features(docs).select("doc_id", "lang", "n_tokens")
+    kept = pack_to_budget(feats, "lang", "n_tokens", _PACK_BUDGET)
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_tokens").alias("sum_tokens"),
+    )
+
+
+def _sql_token_budget_pack() -> str:
+    from geojson_vt_rs_spark.operators.sampling import duck_pack_pred
+    from geojson_vt_rs_spark.operators.text_dedup import (
+        duck_text_features_exprs,
+    )
+
+    e = duck_text_features_exprs()
+    cum = duck_pack_pred("lang", "n_tokens", _PACK_BUDGET)
+    return (
+        "SELECT lang, count(*) AS n_kept, "
+        "CAST(sum(n_tokens) AS BIGINT) AS sum_tokens FROM ("
+        f"SELECT lang, doc_id, n_tokens, {cum} AS cum FROM ("
+        f"SELECT lang, doc_id, {e['n_tokens']} AS n_tokens FROM documents"
+        f")) WHERE cum <= {_PACK_BUDGET} GROUP BY 1"
+    )
+
+
 def q_corpus_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The END-TO-END training-corpus curation funnel as one declarative
     query: quality gate (integer-exact predicates: >= 5 tokens AND punct
@@ -1203,6 +1242,7 @@ def _raw_queries() -> dict:
         "dataset_split": q_dataset_split,
         "stratified_mix": q_stratified_mix,
         "domain_quota": q_domain_quota,
+        "token_budget_pack": q_token_budget_pack,
         "corpus_retention": q_corpus_retention,
         "cosine_near_dup": q_cosine_near_dup,
         "event_windows": q_event_windows,
@@ -1253,6 +1293,7 @@ def oracle_sql() -> dict[str, str]:
         "dataset_split": _sql_dataset_split(),
         "stratified_mix": _sql_stratified_mix(),
         "domain_quota": _sql_domain_quota(),
+        "token_budget_pack": _sql_token_budget_pack(),
         "corpus_retention": _sql_corpus_retention(),
         "cosine_near_dup": _sql_cosine_near_dup(),
         "event_windows": SQL_EVENT_WINDOWS,

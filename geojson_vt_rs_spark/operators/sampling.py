@@ -142,6 +142,81 @@ def duck_sample_pred(
     return f"({b} < {cut})"
 
 
+# ------------------------------------------------------ budget packing
+N_COARSE = 100
+
+
+def pack_to_budget(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    budget: int,
+    key_col: str = "doc_id",
+    seed: str = "pack-v1",
+) -> DataFrame:
+    """Keep rows in deterministic hash order until each group's running
+    ``weight_col`` total reaches ``budget`` (inclusive) — the "first N
+    tokens per language" primitive of a training-mix builder.
+
+    Exact distributed prefix-sum in two phases so no group ever sorts in
+    one task: rows order by (coarse, bucket, key) where coarse =
+    bucket / (N_BUCKETS/N_COARSE); phase 1 aggregates per-(group,
+    coarse) partial sums (tiny: |groups| x N_COARSE rows) and converts
+    them to EXCLUSIVE prefix offsets with a window over that tiny table;
+    phase 2 computes the intra-coarse running sum (window partitioned by
+    (group, coarse) — each partition holds ~1/N_COARSE of the group) and
+    adds the broadcast offset.  The total equals the single-window
+    cumulative sum over (group ORDER BY bucket, key) row for row, so the
+    oracle twin is a plain ``sum() OVER (... ROWS UNBOUNDED PRECEDING)``.
+    """
+    b = hash_bucket(F.col(key_col), seed)
+    coarse = (b / (N_BUCKETS // N_COARSE)).cast("int")
+    rows = df.withColumn("_b", b).withColumn("_c", coarse)
+    part = rows.groupBy(group_col, "_c").agg(
+        F.sum(F.col(weight_col)).alias("_csum")
+    )
+    woff = (
+        Window.partitionBy(group_col)
+        .orderBy("_c")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = part.select(
+        group_col,
+        "_c",
+        F.coalesce(F.sum("_csum").over(woff), F.lit(0)).alias("_off"),
+    )
+    wrun = (
+        Window.partitionBy(group_col, "_c")
+        .orderBy("_b", key_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        rows.join(F.broadcast(offsets), [group_col, "_c"])
+        .withColumn(
+            "_cum", F.col("_off") + F.sum(F.col(weight_col)).over(wrun)
+        )
+        .filter(F.col("_cum") <= budget)
+        .drop("_b", "_c", "_off", "_cum")
+    )
+
+
+def duck_pack_pred(
+    group_expr: str,
+    weight_expr: str,
+    budget: int,
+    key_expr: str = "doc_id",
+    seed: str = "pack-v1",
+) -> str:
+    """DuckDB window expression twin: the inclusive running sum that
+    :func:`pack_to_budget` compares against the budget (use inside a
+    subquery, filter ``<= budget`` outside)."""
+    bucket = duck_hash_bucket(key_expr, seed)
+    return (
+        f"sum({weight_expr}) OVER (PARTITION BY {group_expr} "
+        f"ORDER BY {bucket}, {key_expr} ROWS UNBOUNDED PRECEDING)"
+    )
+
+
 # ----------------------------------------------------------- quota capping
 def quota_cap(
     df: DataFrame,

@@ -111,6 +111,49 @@ def test_quota_cap_exact_under_skew(spark):
         assert got == want
 
 
+def test_pack_to_budget_exact_vs_single_window(spark):
+    from geojson_vt_rs_spark.operators.sampling import (
+        hash_bucket,
+        pack_to_budget,
+    )
+
+    docs = _docs(spark).select(
+        "doc_id", "lang", F.length("text").alias("n")
+    )
+    got = sorted(
+        pack_to_budget(docs, "lang", "n", budget=30_000)
+        .select("doc_id", "lang")
+        .collect()
+    )
+    b = hash_bucket(F.col("doc_id"), "pack-v1")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(b, "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    want = sorted(
+        docs.withColumn("_cum", F.sum("n").over(w))
+        .filter(F.col("_cum") <= 30_000)
+        .select("doc_id", "lang")
+        .collect()
+    )
+    assert got == want and 0 < len(got) < docs.count()
+
+
+def test_pack_to_budget_boundary(spark):
+    # budget smaller than any single doc -> empty; huge budget -> all rows
+    from geojson_vt_rs_spark.operators.sampling import pack_to_budget
+
+    docs = _docs(spark).select(
+        "doc_id", "lang", F.length("text").alias("n")
+    )
+    assert pack_to_budget(docs, "lang", "n", budget=0).count() == 0
+    assert (
+        pack_to_budget(docs, "lang", "n", budget=1 << 40).count()
+        == docs.count()
+    )
+
+
 def test_hash_bucket_range(spark):
     docs = _docs(spark)
     r = docs.select(

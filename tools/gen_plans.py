@@ -108,6 +108,17 @@ AUDITS = {
          "token counts + ranks are pure JVM"),
         ("!rangepartitioning", "no global range-sort"),
     ],
+    "token_budget_pack": [
+        ("windowspecdefinition\\(lang",
+         "prefix-sum windows PARTITIONED by (group[, coarse range]) — "
+         "the running total never sorts a whole group in one task"),
+        ("BroadcastHashJoin",
+         "per-(group, coarse) offsets (tiny: |groups| x 100) broadcast "
+         "back onto the rows"),
+        ("!BatchEvalPython|ArrowEvalPython|PythonUDF|MapInPandas",
+         "token counts + cumulative sums are pure JVM"),
+        ("!rangepartitioning", "no global range-sort"),
+    ],
     "winnow_pairs": [
         ("BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin",
          "shared-fingerprint equi-join (complete blocking, no cross product)"),
@@ -144,7 +155,7 @@ def main():
                  "ann_topk", "ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk",
                  "cosine_near_dup", "simhash_near_pairs", "phash_near_dups",
                  "token_stats", "winnow_pairs", "dataset_split",
-                 "stratified_mix", "domain_quota"]:
+                 "stratified_mix", "domain_quota", "token_budget_pack"]:
         df = qs[name](spark, SF)
         plan = plan_of(df)
         out.append(f"\n## {name}\n")
