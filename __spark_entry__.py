@@ -702,6 +702,66 @@ def _sql_token_budget_pack() -> str:
     )
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: a 10% hash holdout is the eval suite;
+    every TRAIN doc sharing any word 5-gram with it is flagged.  The
+    n-gram array is one JVM zip_with chain with the tokenize let-bound
+    per row; the eval gram set is distinct+broadcast so the train side
+    is map-side only (operators/decontam.py).  Per-language train size,
+    contaminated count, and the kept-token total after the anti-join."""
+    from geojson_vt_rs_spark.operators.decontam import (
+        EVAL_CUT,
+        contaminated_doc_ids,
+    )
+    from geojson_vt_rs_spark.operators.sampling import hash_bucket
+    from geojson_vt_rs_spark.operators.text_dedup import with_text_features
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    feats = with_text_features(docs).select(
+        "doc_id", "lang", "text", "n_tokens"
+    )
+    bad = contaminated_doc_ids(feats).withColumn("_bad", F.lit(1))
+    train = feats.filter(
+        hash_bucket(F.col("doc_id"), "decon-v1") >= EVAL_CUT
+    )
+    return (
+        train.join(F.broadcast(bad), "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_train"),
+            F.sum(F.coalesce(F.col("_bad"), F.lit(0))).alias("n_contam"),
+            F.sum(
+                F.when(F.col("_bad").isNull(), F.col("n_tokens")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("kept_tokens"),
+        )
+    )
+
+
+def _sql_decontaminate() -> str:
+    from geojson_vt_rs_spark.operators.decontam import (
+        EVAL_CUT,
+        duck_decontam_ctes,
+    )
+    from geojson_vt_rs_spark.operators.text_dedup import (
+        duck_text_features_exprs,
+    )
+
+    e = duck_text_features_exprs()
+    return (
+        f"WITH {duck_decontam_ctes()} "
+        "SELECT lang, count(*) AS n_train, "
+        "CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM c) "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_contam, "
+        "CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM c) "
+        f"THEN 0 ELSE {e['n_tokens']} END) AS BIGINT) AS kept_tokens "
+        f"FROM documents WHERE "
+        "('0x' || substr(md5('decon-v1:' || CAST(doc_id AS VARCHAR)), 1, 15))"
+        f"::BIGINT % 10000 >= {EVAL_CUT} GROUP BY 1"
+    )
+
+
 def q_corpus_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The END-TO-END training-corpus curation funnel as one declarative
     query: quality gate (integer-exact predicates: >= 5 tokens AND punct
@@ -1243,6 +1303,7 @@ def _raw_queries() -> dict:
         "stratified_mix": q_stratified_mix,
         "domain_quota": q_domain_quota,
         "token_budget_pack": q_token_budget_pack,
+        "decontaminate": q_decontaminate,
         "corpus_retention": q_corpus_retention,
         "cosine_near_dup": q_cosine_near_dup,
         "event_windows": q_event_windows,
@@ -1294,6 +1355,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_mix": _sql_stratified_mix(),
         "domain_quota": _sql_domain_quota(),
         "token_budget_pack": _sql_token_budget_pack(),
+        "decontaminate": _sql_decontaminate(),
         "corpus_retention": _sql_corpus_retention(),
         "cosine_near_dup": _sql_cosine_near_dup(),
         "event_windows": SQL_EVENT_WINDOWS,

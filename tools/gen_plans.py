@@ -119,6 +119,16 @@ AUDITS = {
          "token counts + cumulative sums are pure JVM"),
         ("!rangepartitioning", "no global range-sort"),
     ],
+    "decontaminate": [
+        ("BroadcastHashJoin LeftSemi",
+         "eval n-gram set (bounded: eval_cut/10000 of the corpus) "
+         "broadcasts; the train side is scanned once, map-side only"),
+        ("!BatchEvalPython|ArrowEvalPython|PythonUDF|MapInPandas",
+         "n-gram zip_with chain + joins are pure JVM"),
+        ("!CartesianProduct|BroadcastNestedLoopJoin",
+         "no all-pairs anywhere"),
+        ("!rangepartitioning", "no global range-sort"),
+    ],
     "winnow_pairs": [
         ("BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin",
          "shared-fingerprint equi-join (complete blocking, no cross product)"),
@@ -155,7 +165,8 @@ def main():
                  "ann_topk", "ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk",
                  "cosine_near_dup", "simhash_near_pairs", "phash_near_dups",
                  "token_stats", "winnow_pairs", "dataset_split",
-                 "stratified_mix", "domain_quota", "token_budget_pack"]:
+                 "stratified_mix", "domain_quota", "token_budget_pack",
+                 "decontaminate"]:
         df = qs[name](spark, SF)
         plan = plan_of(df)
         out.append(f"\n## {name}\n")
