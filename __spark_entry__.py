@@ -762,6 +762,75 @@ def _sql_decontaminate() -> str:
     )
 
 
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass: deterministically inject emails / IPv4s /
+    SSN-shaped ids into the synthetic corpus (a stand-in for a source
+    read — the tables ship PII-free), then redact with the fixed
+    Java==RE2 pattern chain (operators/pii.py) and report per-language
+    removal counts plus an md5 fingerprint SUM over the redacted text —
+    the oracle pins the exact redacted strings, not just the counts."""
+    from geojson_vt_rs_spark.operators.pii import with_pii_redacted
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    aug = docs.withColumn(
+        "text",
+        F.expr(
+            "CASE WHEN doc_id % 3 = 0 THEN concat(text, ' contact doc', "
+            "cast(doc_id AS string), '@example.com') "
+            "WHEN doc_id % 3 = 1 THEN concat(text, ' host 10.', "
+            "cast(doc_id % 256 AS string), '.0.', "
+            "cast((doc_id * 7) % 256 AS string)) ELSE text END"
+        ),
+    ).withColumn(
+        "text",
+        F.expr(
+            "CASE WHEN doc_id % 7 = 0 THEN concat(text, ' id 123-45-', "
+            "lpad(cast(doc_id % 10000 AS string), 4, '0')) ELSE text END"
+        ),
+    )
+    red = with_pii_redacted(aug)
+    # bit_xor, not sum: 60-bit fingerprints overflow int64 under sum at
+    # any real row count; xor is order-independent and never overflows
+    return red.groupBy("lang").agg(
+        F.sum("n_email").alias("n_email"),
+        F.sum("n_ipv4").alias("n_ipv4"),
+        F.sum("n_id_num").alias("n_id_num"),
+        F.expr(
+            "bit_xor(cast(conv(substr(md5(redacted), 1, 15), 16, 10) "
+            "AS bigint))"
+        ).alias("redacted_fp"),
+    )
+
+
+def _sql_pii_redact() -> str:
+    from geojson_vt_rs_spark.operators.pii import duck_pii_exprs
+
+    aug1 = (
+        "CASE WHEN doc_id % 3 = 0 THEN text || ' contact doc' || "
+        "CAST(doc_id AS VARCHAR) || '@example.com' "
+        "WHEN doc_id % 3 = 1 THEN text || ' host 10.' || "
+        "CAST(doc_id % 256 AS VARCHAR) || '.0.' || "
+        "CAST((doc_id * 7) % 256 AS VARCHAR) ELSE text END"
+    )
+    aug2 = (
+        "CASE WHEN doc_id % 7 = 0 THEN t1 || ' id 123-45-' || "
+        "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE t1 END"
+    )
+    e = duck_pii_exprs()
+    return (
+        "SELECT lang, CAST(sum(n_email) AS BIGINT) AS n_email, "
+        "CAST(sum(n_ipv4) AS BIGINT) AS n_ipv4, "
+        "CAST(sum(n_id_num) AS BIGINT) AS n_id_num, "
+        "CAST(bit_xor(('0x' || substr(md5(redacted), 1, 15))::BIGINT) "
+        "AS BIGINT) AS redacted_fp FROM ("
+        f"SELECT lang, {e['n_email']} AS n_email, {e['n_ipv4']} AS n_ipv4, "
+        f"{e['n_id_num']} AS n_id_num, {e['redacted']} AS redacted FROM ("
+        f"SELECT lang, {aug2} AS text FROM ("
+        f"SELECT doc_id, lang, {aug1} AS t1 FROM documents"
+        "))) GROUP BY 1"
+    )
+
+
 def q_corpus_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The END-TO-END training-corpus curation funnel as one declarative
     query: quality gate (integer-exact predicates: >= 5 tokens AND punct
@@ -1304,6 +1373,7 @@ def _raw_queries() -> dict:
         "domain_quota": q_domain_quota,
         "token_budget_pack": q_token_budget_pack,
         "decontaminate": q_decontaminate,
+        "pii_redact": q_pii_redact,
         "corpus_retention": q_corpus_retention,
         "cosine_near_dup": q_cosine_near_dup,
         "event_windows": q_event_windows,
@@ -1356,6 +1426,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_quota": _sql_domain_quota(),
         "token_budget_pack": _sql_token_budget_pack(),
         "decontaminate": _sql_decontaminate(),
+        "pii_redact": _sql_pii_redact(),
         "corpus_retention": _sql_corpus_retention(),
         "cosine_near_dup": _sql_cosine_near_dup(),
         "event_windows": SQL_EVENT_WINDOWS,

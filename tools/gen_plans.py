@@ -129,6 +129,13 @@ AUDITS = {
          "no all-pairs anywhere"),
         ("!rangepartitioning", "no global range-sort"),
     ],
+    "pii_redact": [
+        ("!BatchEvalPython|ArrowEvalPython|PythonUDF|MapInPandas",
+         "regex chain + fingerprint agg are pure JVM (row-local scan)"),
+        ("!(?s)Exchange hashpartitioning.*Exchange hashpartitioning",
+         "one shuffle only: the final per-lang partial agg"),
+        ("!rangepartitioning", "no global range-sort"),
+    ],
     "winnow_pairs": [
         ("BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin",
          "shared-fingerprint equi-join (complete blocking, no cross product)"),
@@ -166,7 +173,7 @@ def main():
                  "cosine_near_dup", "simhash_near_pairs", "phash_near_dups",
                  "token_stats", "winnow_pairs", "dataset_split",
                  "stratified_mix", "domain_quota", "token_budget_pack",
-                 "decontaminate"]:
+                 "decontaminate", "pii_redact"]:
         df = qs[name](spark, SF)
         plan = plan_of(df)
         out.append(f"\n## {name}\n")
