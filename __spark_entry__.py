@@ -831,6 +831,41 @@ def _sql_pii_redact() -> str:
     )
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality gate: distinct-token and duplicate-bigram
+    counts per doc (operators/quality.py; pure JVM, row-local), rolled
+    up per language with a repetitive-doc count (any dup bigram)."""
+    from geojson_vt_rs_spark.operators.quality import with_repetition
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rep = with_repetition(docs)
+    return rep.groupBy("lang").agg(
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.sum("n_distinct_tokens").alias("sum_distinct"),
+        F.sum("n_dup_bigrams").alias("sum_dup_bigrams"),
+        F.sum(
+            F.when(F.col("n_dup_bigrams") > 0, F.lit(1)).otherwise(F.lit(0))
+        ).alias("n_repetitive"),
+    )
+
+
+def _sql_repetition_stats() -> str:
+    from geojson_vt_rs_spark.operators.quality import duck_repetition_exprs
+
+    e = duck_repetition_exprs()
+    return (
+        "SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens, "
+        "CAST(sum(n_distinct_tokens) AS BIGINT) AS sum_distinct, "
+        "CAST(sum(n_dup_bigrams) AS BIGINT) AS sum_dup_bigrams, "
+        "CAST(sum(CASE WHEN n_dup_bigrams > 0 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_repetitive FROM ("
+        f"SELECT lang, {e['n_tokens']} AS n_tokens, "
+        f"{e['n_distinct_tokens']} AS n_distinct_tokens, "
+        f"{e['n_dup_bigrams']} AS n_dup_bigrams FROM documents"
+        ") GROUP BY 1"
+    )
+
+
 def q_corpus_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The END-TO-END training-corpus curation funnel as one declarative
     query: quality gate (integer-exact predicates: >= 5 tokens AND punct
@@ -1374,6 +1409,7 @@ def _raw_queries() -> dict:
         "token_budget_pack": q_token_budget_pack,
         "decontaminate": q_decontaminate,
         "pii_redact": q_pii_redact,
+        "repetition_stats": q_repetition_stats,
         "corpus_retention": q_corpus_retention,
         "cosine_near_dup": q_cosine_near_dup,
         "event_windows": q_event_windows,
@@ -1427,6 +1463,7 @@ def oracle_sql() -> dict[str, str]:
         "token_budget_pack": _sql_token_budget_pack(),
         "decontaminate": _sql_decontaminate(),
         "pii_redact": _sql_pii_redact(),
+        "repetition_stats": _sql_repetition_stats(),
         "corpus_retention": _sql_corpus_retention(),
         "cosine_near_dup": _sql_cosine_near_dup(),
         "event_windows": SQL_EVENT_WINDOWS,

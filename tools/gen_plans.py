@@ -136,6 +136,12 @@ AUDITS = {
          "one shuffle only: the final per-lang partial agg"),
         ("!rangepartitioning", "no global range-sort"),
     ],
+    "repetition_stats": [
+        ("!BatchEvalPython|ArrowEvalPython|PythonUDF|MapInPandas",
+         "token/bigram distinct counts are pure JVM (row-local scan)"),
+        ("HashAggregate", "partial+final per-lang agg"),
+        ("!rangepartitioning", "no global range-sort"),
+    ],
     "winnow_pairs": [
         ("BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin",
          "shared-fingerprint equi-join (complete blocking, no cross product)"),
@@ -173,7 +179,7 @@ def main():
                  "cosine_near_dup", "simhash_near_pairs", "phash_near_dups",
                  "token_stats", "winnow_pairs", "dataset_split",
                  "stratified_mix", "domain_quota", "token_budget_pack",
-                 "decontaminate", "pii_redact"]:
+                 "decontaminate", "pii_redact", "repetition_stats"]:
         df = qs[name](spark, SF)
         plan = plan_of(df)
         out.append(f"\n## {name}\n")
