@@ -1212,6 +1212,28 @@ def _sql_ann_ivf_topk() -> str:
     return duck_ivf_topk_sql(n_centroids=16, k=10, n_probe=2)
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): IVF-cell
+    cluster (16 centroids = the vec_id<16 rows), then drop rows with a
+    lower-id round-6-cosine>=0.3 partner WITHIN their cell.  Pairwise
+    work is per-cell only (equi-join on ivf_cell) — the paper's cost
+    model — and fully oracle-checkable (duck_semantic_dedup_sql)."""
+    from geojson_vt_rs_spark.operators.ann import semantic_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = emb.filter("vec_id < 16").collect()
+    cents = sorted(
+        (int(r["vec_id"]), [float(v) for v in r["embedding"]]) for r in rows
+    )
+    return semantic_dedup(emb, cents, threshold=0.3)
+
+
+def _sql_semantic_dedup() -> str:
+    from geojson_vt_rs_spark.operators.ann import duck_semantic_dedup_sql
+
+    return duck_semantic_dedup_sql(n_centroids=16, threshold=0.3)
+
+
 # ---------------------------------------------- end-to-end engine (no SQL)
 def q_vt_total_us_states(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replays the reference's get_tile_us_states scenario (tests.rs:404-431)
@@ -1419,6 +1441,7 @@ def _raw_queries() -> dict:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_pq_topk": q_ann_pq_topk,
+        "semantic_dedup": q_semantic_dedup,
         "phash_near_dups": q_phash_near_dups,
         "frame_sample": q_frame_sample,
         "vt_total_us_states": q_vt_total_us_states,
@@ -1476,6 +1499,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ann_ivf_topk": _sql_ann_ivf_topk(),
         "ann_pq_topk": _sql_ann_pq_topk(),
+        "semantic_dedup": _sql_semantic_dedup(),
         "phash_near_dups": _sql_phash_near_dups(),
         "frame_sample": _sql_frame_sample(),
         "vt_total_us_states": SQL_VT_TOTAL,

@@ -827,3 +827,105 @@ def duck_pq_topk_sql(
         f"(ORDER BY cos DESC, {id_col}) AS INT) AS rnk, cos FROM scored"
         f") WHERE rnk <= {k}"
     )
+
+
+# ----------------------------------------------------- semantic dedup
+# SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster embeddings
+# with a coarse quantizer, then prune near-duplicate pairs WITHIN each
+# cluster only — the pairwise cost is paid per cell, never globally.
+# The keep policy here is the deterministic greedy variant: within a
+# cell, a row is dropped iff a lower-id row in the same cell has
+# round-6 cosine >= threshold (keep-first; the paper's "keep the one
+# farthest from the centroid" differs only in which member survives).
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    centroids: list,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Dropped rows of a SemDeDup pass: (id, ivf_cell, n_dups, max_cos).
+
+    Plan shape (the 100-TB contract): cell assignment is the pure-JVM
+    with_ivf_cell expression (one codegen'd fold per centroid); the
+    candidate generator is a self EQUI-join on ivf_cell — a shuffled
+    hash join whose fan-in is bounded by cell size (pick n_centroids ~
+    sqrt(n) upstream; hot cells salt like any skewed key), never a
+    BroadcastNestedLoopJoin.  The exact rescore runs only on within-cell
+    pairs, matching the paper's cost model.  Every float op is the same
+    sequential left fold as the DuckDB twin (duck_semantic_dedup_sql).
+    """
+    cells = with_ivf_cell(emb, centroids, vec_col=vec_col)
+    nrm = F.expr(
+        "sqrt(aggregate(transform(emb, a -> a * a), 0D, (acc, v) -> acc + v))"
+    )
+    d = cells.select(
+        F.col(id_col),
+        F.expr(f"transform({vec_col}, v -> cast(v as double))").alias("emb"),
+        F.col("ivf_cell"),
+    ).withColumn("nrm", nrm)
+    a = d.select(
+        F.col(id_col).alias("id_a"), F.col("emb").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"), F.col("ivf_cell"),
+    )
+    b = d.select(
+        F.col(id_col).alias("id_b"), F.col("emb").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"), F.col("ivf_cell"),
+    )
+    dot = F.expr(
+        "aggregate(zip_with(emb_a, emb_b, (x, y) -> x * y), 0D, "
+        "(acc, v) -> acc + v)"
+    )
+    pairs = (
+        a.join(b, ["ivf_cell"])
+        .filter(F.col("id_a") > F.col("id_b"))
+        .withColumn("cos", F.round(dot / (F.col("nrm_a") * F.col("nrm_b")), 6))
+        .filter(F.col("cos") >= threshold)
+    )
+    return pairs.groupBy(
+        F.col("id_a").alias(id_col), "ivf_cell"
+    ).agg(
+        F.count("*").alias("n_dups"),
+        F.max("cos").alias("max_cos"),
+    )
+
+
+def duck_semantic_dedup_sql(
+    n_centroids: int = 16,
+    threshold: float = 0.3,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of semantic_dedup with centroids re-derived from the
+    table (rows {id_col} < n_centroids, unit-normalized with the same
+    sequential folds) — sf-independent, byte-identical cell assignment
+    (max-dot, first-cid tie-break) and round-6 pair cosines."""
+    unit = (
+        f"list_transform({vec_col}::DOUBLE[], v -> v / "
+        f"sqrt(list_sum(list_transform({vec_col}::DOUBLE[], w -> w * w))))"
+    )
+    dot_u = "list_sum(list_transform(list_zip(b.emb, c.u), p -> p[1] * p[2]))"
+    cos = (
+        "round(list_sum(list_transform(list_zip(a.emb, b.emb), "
+        "p -> p[1] * p[2])) / (a.nrm * b.nrm), 6)"
+    )
+    return (
+        f"WITH b AS (SELECT {id_col}, {vec_col}::DOUBLE[] AS emb, "
+        f"sqrt(list_sum(list_transform({vec_col}::DOUBLE[], v -> v * v))) "
+        f"AS nrm FROM {table}), "
+        f"cent AS (SELECT {id_col} AS cid, {unit} AS u FROM {table} "
+        f"WHERE {id_col} < {n_centroids}), "
+        f"cs AS (SELECT b.{id_col}, b.emb, b.nrm, c.cid, {dot_u} AS s "
+        "FROM b, cent c), "
+        f"cell AS (SELECT {id_col}, emb, nrm, cid AS ivf_cell FROM ("
+        f"SELECT *, row_number() OVER (PARTITION BY {id_col} "
+        "ORDER BY s DESC, cid ASC) AS rn FROM cs) WHERE rn = 1), "
+        f"pairs AS (SELECT a.{id_col}, a.ivf_cell, {cos} AS cos "
+        "FROM cell a JOIN cell b ON a.ivf_cell = b.ivf_cell "
+        f"AND a.{id_col} > b.{id_col} WHERE {cos} >= {threshold!r}) "
+        f"SELECT {id_col}, ivf_cell, CAST(count(*) AS BIGINT) AS n_dups, "
+        f"max(cos) AS max_cos FROM pairs GROUP BY {id_col}, ivf_cell"
+    )

@@ -401,3 +401,66 @@ def test_pq_topk_recall(spark):
     assert recall >= 0.5, f"PQ recall too low: {recall}"
     codes = with_pq_codes(emb, cb).groupBy("__pq0").count().collect()
     assert len(codes) > 4  # subspace 0 uses a spread of codewords
+
+
+def test_semantic_dedup_matches_bruteforce(spark):
+    """semantic_dedup == the literal per-cell pairwise definition, and the
+    kept set satisfies the greedy keep-first property (no kept row has a
+    lower-id >=t partner in its cell)."""
+    import numpy as np
+
+    from geojson_vt_rs_spark.operators.ann import (
+        semantic_dedup,
+        with_ivf_cell,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    rows = emb.filter("vec_id < 16").collect()
+    cents = sorted(
+        (int(r["vec_id"]), [float(v) for v in r["embedding"]]) for r in rows
+    )
+    t = 0.3
+    got = {
+        int(r["vec_id"]): (int(r["ivf_cell"]), int(r["n_dups"]), r["max_cos"])
+        for r in semantic_dedup(emb, cents, threshold=t).collect()
+    }
+    assert got, "threshold yields a non-trivial dropped set at sf0.01"
+
+    # brute force: same cells (from the engine), sequential-fold cosines
+    cells = {
+        int(r["vec_id"]): (int(r["ivf_cell"]), [float(v) for v in r["embedding"]])
+        for r in with_ivf_cell(emb, cents).collect()
+    }
+
+    def cos(u, v):
+        d = n1 = n2 = 0.0
+        for a, b in zip(u, v):
+            d += a * b
+        for a in u:
+            n1 += a * a
+        for b in v:
+            n2 += b * b
+        return round(d / (n1 ** 0.5 * n2 ** 0.5), 6)
+
+    want = {}
+    ids = sorted(cells)
+    for i in ids:
+        ci, vi = cells[i]
+        sims = [
+            cos(vi, cells[j][1])
+            for j in ids
+            if j < i and cells[j][0] == ci
+        ]
+        sims = [s for s in sims if s >= t]
+        if sims:
+            want[i] = (ci, len(sims), max(sims))
+    assert got == want
+    # keep-first property over the kept set
+    for i in ids:
+        if i not in want:
+            ci, vi = cells[i]
+            assert not any(
+                cos(vi, cells[j][1]) >= t
+                for j in ids
+                if j < i and cells[j][0] == ci
+            )

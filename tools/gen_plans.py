@@ -142,6 +142,16 @@ AUDITS = {
         ("HashAggregate", "partial+final per-lang agg"),
         ("!rangepartitioning", "no global range-sort"),
     ],
+    "semantic_dedup": [
+        ("BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin",
+         "per-cell pairwise = EQUI-join on ivf_cell (SemDeDup cost model)"),
+        ("!BroadcastNestedLoopJoin", "no all-pairs theta join"),
+        ("!CartesianProduct", "no cartesian"),
+        ("!Window", "no WindowExec — cell argmax is a sortable-struct expr"),
+        ("!BatchEvalPython|ArrowEvalPython|PythonUDF|MapInPandas",
+         "cell assignment + pair cosines are pure JVM SQL"),
+        ("HashAggregate", "partial+final per-(id, cell) agg"),
+    ],
     "winnow_pairs": [
         ("BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin",
          "shared-fingerprint equi-join (complete blocking, no cross product)"),
@@ -179,7 +189,8 @@ def main():
                  "cosine_near_dup", "simhash_near_pairs", "phash_near_dups",
                  "token_stats", "winnow_pairs", "dataset_split",
                  "stratified_mix", "domain_quota", "token_budget_pack",
-                 "decontaminate", "pii_redact", "repetition_stats"]:
+                 "decontaminate", "pii_redact", "repetition_stats",
+                 "semantic_dedup"]:
         df = qs[name](spark, SF)
         plan = plan_of(df)
         out.append(f"\n## {name}\n")
