@@ -1212,6 +1212,27 @@ def _sql_ann_ivf_topk() -> str:
     return duck_ivf_topk_sql(n_centroids=16, k=10, n_probe=2)
 
 
+def q_importance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-shaped data selection (Xie et al. 2023): hashed-unigram
+    likelihood-ratio scores against the lang='en' target subcorpus,
+    exact fixed-point integer math (no transcendental accumulation),
+    top-100 by mean weight via TakeOrderedAndProject.  The <=4096-row
+    weight table broadcasts back onto the token stream, so scoring is
+    map-side + one per-doc partial agg."""
+    from geojson_vt_rs_spark.operators.importance import importance_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return importance_topk(docs, target_pred="lang = 'en'", k=100)
+
+
+def _sql_importance_topk() -> str:
+    from geojson_vt_rs_spark.operators.importance import (
+        duck_importance_topk_sql,
+    )
+
+    return duck_importance_topk_sql(target_pred="lang = 'en'", k=100)
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023): IVF-cell
     cluster (16 centroids = the vec_id<16 rows), then drop rows with a
@@ -1442,6 +1463,7 @@ def _raw_queries() -> dict:
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_pq_topk": q_ann_pq_topk,
         "semantic_dedup": q_semantic_dedup,
+        "importance_topk": q_importance_topk,
         "phash_near_dups": q_phash_near_dups,
         "frame_sample": q_frame_sample,
         "vt_total_us_states": q_vt_total_us_states,
@@ -1500,6 +1522,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": _sql_ann_ivf_topk(),
         "ann_pq_topk": _sql_ann_pq_topk(),
         "semantic_dedup": _sql_semantic_dedup(),
+        "importance_topk": _sql_importance_topk(),
         "phash_near_dups": _sql_phash_near_dups(),
         "frame_sample": _sql_frame_sample(),
         "vt_total_us_states": SQL_VT_TOTAL,

@@ -1,0 +1,166 @@
+"""Data-selection importance weighting (DSIR-shaped) for pretraining
+corpora: score every document by how much its hashed-unigram
+distribution looks like a TARGET subcorpus versus the raw corpus, then
+keep the top-K (the deterministic counterpart of DSIR's importance
+resampling, Xie et al. 2023, arXiv:2302.03169).
+
+DSIR proper scores docs with sum_i log(p_target(f_i)/p_raw(f_i)) over
+hashed n-gram features and samples proportionally.  This variant keeps
+the same estimator family but swaps the log-likelihood for an EXACT
+integer ratio so the whole operator is reproducible bit-for-bit on any
+engine (the repo's oracle contract bans transcendental accumulation —
+CLAUDE.md invariants):
+
+* token feature  = md5-derived vocab bucket in ``[0, V_BUCKETS)``
+  (the operators/sampling.py idiom: ``conv(substr(md5(..),1,15),16,10)``
+  == DuckDB ``('0x'||substr(md5(..),1,15))::BIGINT``).
+* bucket weight  = ``((ct+1)(Nq+V)·SCALE) div ((cq+1)(Nt+V))`` — the
+  add-one-smoothed likelihood ratio ``p_t/p_q`` in fixed-point; all
+  BIGINT, positive, so Spark ``div`` (truncate) == DuckDB ``//``
+  (floor).  64-bit headroom bounds ``(ct+1)·(Nq+V)·SCALE < 2^63``; at
+  trillions of tokens drop SCALE to 1e3 or widen to DECIMAL(38,0).
+* doc score      = ``sum(weight)`` over its tokens ``div n_tokens`` —
+  an INTEGER sum, so (unlike a float fold) the per-doc aggregation is
+  shuffle-order-independent by construction.
+
+Scale shape at 100 TB:
+
+* tokens are exploded with ``explode_outer`` + not-null filter (the
+  CLAUDE.md Catalyst rule: a plain explode makes Catalyst push the
+  whole generator below exchanges as an inferred ``size()>0`` filter).
+* the per-bucket count aggregation shuffles at most ``V_BUCKETS`` rows
+  after map-side partial aggs; the resulting weight table (``<= V``
+  rows) is BROADCAST back onto the token stream, so scoring is
+  map-side + one per-doc partial agg.  Two scans of the corpus total,
+  both pruned to (doc_id, lang, text).
+* the keep step is ``orderBy().limit(k)`` — TakeOrderedAndProject
+  (per-partition local top-k, merged on the driver), never a global
+  range sort.
+
+No reference counterpart (maxammann/geojson-vt-rs is a vector-tile
+engine); this sits beside decontam/sampling/quality as the graft's
+training-pipeline surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text_dedup import _spark_words
+
+V_BUCKETS = 4_096
+SCALE = 1_000_000
+SEED = "dsir-v1"
+
+
+def _bucket_expr(tok: str, seed: str = SEED) -> str:
+    return (
+        f"cast(conv(substring(md5(concat('{seed}:', {tok})), 1, 15), "
+        f"16, 10) as bigint) % {V_BUCKETS}"
+    )
+
+
+def token_buckets(docs: DataFrame, target_pred: str) -> DataFrame:
+    """(doc_id, lang, b, t) — one row per token: vocab bucket ``b`` and
+    target-membership flag ``t`` (1 iff the doc satisfies target_pred)."""
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.expr(f"CASE WHEN {target_pred} THEN 1L ELSE 0L END").alias("t"),
+            F.explode_outer(F.expr(_spark_words())).alias("tok"),
+        )
+        .filter(F.col("tok").isNotNull())
+        .select(
+            "doc_id", "lang", "t", F.expr(_bucket_expr("tok")).alias("b")
+        )
+    )
+
+
+def bucket_weights(tokens: DataFrame) -> DataFrame:
+    """(b, w) fixed-point likelihood-ratio weights, <= V_BUCKETS rows.
+
+    One shuffle of at most V_BUCKETS rows (map-side partials); the
+    corpus/target totals ride along via a 1-row cross join (both sides
+    tiny) instead of a driver collect, so the plan is a pure function
+    of the input.
+    """
+    cb = tokens.groupBy("b").agg(
+        F.count("*").alias("cq"), F.sum("t").alias("ct")
+    )
+    tot = tokens.agg(
+        F.count("*").alias("nq"), F.sum("t").alias("nt")
+    )
+    return cb.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.expr(
+            f"((ct + 1L) * (nq + {V_BUCKETS}L) * {SCALE}L) div "
+            f"((cq + 1L) * (nt + {V_BUCKETS}L))"
+        ).alias("w"),
+    )
+
+
+def importance_topk(
+    docs: DataFrame,
+    target_pred: str = "lang = 'en'",
+    k: int = 100,
+) -> DataFrame:
+    """Top-``k`` documents by mean fixed-point importance weight.
+
+    Returns (doc_id, lang, n_tokens, avg_w): ``avg_w`` is the integer
+    mean of the doc's per-token bucket weights (SCALE ~= ratio 1.0), so
+    docs whose unigrams over-index in the target subcorpus rank first.
+    Deterministic total order (avg_w desc, doc_id asc).
+    """
+    tokens = token_buckets(docs, target_pred)
+    wt = bucket_weights(tokens)
+    scored = (
+        tokens.join(F.broadcast(wt), "b")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum("w").alias("sw"), F.count("*").alias("n_tokens"))
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            F.expr("sw div n_tokens").alias("avg_w"),
+        )
+    )
+    return scored.orderBy(F.desc("avg_w"), F.asc("doc_id")).limit(k)
+
+
+def duck_importance_topk_sql(
+    target_pred: str = "lang = 'en'",
+    k: int = 100,
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of importance_topk — same md5 buckets, the same
+    integer ratio (every DuckDB sum CAST to BIGINT before arithmetic:
+    HUGEINT sums flip the driver's value-hash AND would widen the
+    multiplication), `//` == positive-operand `div`."""
+    words = (
+        "list_filter(regexp_split_to_array(trim(text), '\\s+'), "
+        "w -> length(w) > 0)"
+    )
+    bucket = (
+        f"(('0x' || substr(md5('{SEED}:' || tok), 1, 15))::BIGINT "
+        f"% {V_BUCKETS})"
+    )
+    return (
+        f"WITH tk0 AS (SELECT doc_id, lang, "
+        f"CASE WHEN {target_pred} THEN 1 ELSE 0 END AS t, "
+        f"unnest({words}) AS tok FROM {table}), "
+        f"tk AS (SELECT doc_id, lang, t, {bucket} AS b FROM tk0), "
+        "tot AS (SELECT CAST(count(*) AS BIGINT) AS nq, "
+        "CAST(sum(t) AS BIGINT) AS nt FROM tk), "
+        "cb AS (SELECT b, CAST(count(*) AS BIGINT) AS cq, "
+        "CAST(sum(t) AS BIGINT) AS ct FROM tk GROUP BY b), "
+        f"wt AS (SELECT b, ((ct + 1) * (nq + {V_BUCKETS}) * {SCALE}) // "
+        f"((cq + 1) * (nt + {V_BUCKETS})) AS w FROM cb, tot), "
+        "sc AS (SELECT tk.doc_id, any_value(tk.lang) AS lang, "
+        "CAST(count(*) AS BIGINT) AS n_tokens, "
+        "CAST(sum(wt.w) AS BIGINT) AS sw "
+        "FROM tk JOIN wt ON tk.b = wt.b GROUP BY tk.doc_id) "
+        "SELECT doc_id, lang, n_tokens, sw // n_tokens AS avg_w "
+        f"FROM sc ORDER BY avg_w DESC, doc_id ASC LIMIT {k}"
+    )

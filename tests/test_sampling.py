@@ -161,3 +161,45 @@ def test_hash_bucket_range(spark):
         F.max(hash_bucket(F.col("doc_id"), "s")).alias("hi"),
     ).collect()[0]
     assert 0 <= r["lo"] and r["hi"] < N_BUCKETS
+
+
+def test_importance_topk_prefers_target_vocab(spark):
+    """On a corpus where target docs use a disjoint vocabulary, every
+    top-k row is a target doc with avg_w > SCALE (ratio > 1), every
+    off-target doc scores below SCALE, and the result is invariant to
+    input partitioning (integer sums are shuffle-order-free)."""
+    from geojson_vt_rs_spark.operators.importance import (
+        SCALE,
+        V_BUCKETS,
+        bucket_weights,
+        importance_topk,
+        token_buckets,
+    )
+
+    rows = []
+    for i in range(40):
+        if i % 2 == 0:
+            rows.append((i, "alpha beta gamma delta epsilon", "en"))
+        else:
+            rows.append((i, "uno dos tres cuatro cinco", "es"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    top = importance_topk(docs, target_pred="lang = 'en'", k=10).collect()
+    assert len(top) == 10
+    assert all(r["lang"] == "en" and r["avg_w"] > SCALE for r in top)
+    # the 10 lowest doc_ids among en docs (all en docs tie on avg_w)
+    assert [r["doc_id"] for r in top] == [2 * j for j in range(10)]
+
+    full = importance_topk(docs, target_pred="lang = 'en'", k=40)
+    scores = {r["doc_id"]: r["avg_w"] for r in full.collect()}
+    assert all(scores[i] < SCALE for i in range(1, 40, 2))
+
+    # weight table is bounded by the vocab hash range
+    wt = bucket_weights(token_buckets(docs, "lang = 'en'"))
+    assert wt.count() <= V_BUCKETS
+
+    # partitioning invariance
+    top_r = importance_topk(
+        docs.repartition(13, "lang"), target_pred="lang = 'en'", k=40
+    ).collect()
+    assert {r["doc_id"]: r["avg_w"] for r in top_r} == scores

@@ -152,6 +152,17 @@ AUDITS = {
          "cell assignment + pair cosines are pure JVM SQL"),
         ("HashAggregate", "partial+final per-(id, cell) agg"),
     ],
+    "importance_topk": [
+        ("TakeOrderedAndProject",
+         "top-k by mean weight — per-partition local top-k, no global sort"),
+        ("!rangepartitioning", "no global range-sort"),
+        ("BroadcastHashJoin",
+         "the <=V_BUCKETS-row weight table broadcasts onto the token "
+         "stream; scoring is map-side + one per-doc partial agg"),
+        ("!BatchEvalPython|ArrowEvalPython|PythonUDF|MapInPandas",
+         "tokenize/bucket/ratio are pure JVM integer expressions"),
+        ("!Window", "no WindowExec"),
+    ],
     "winnow_pairs": [
         ("BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin",
          "shared-fingerprint equi-join (complete blocking, no cross product)"),
@@ -190,7 +201,7 @@ def main():
                  "token_stats", "winnow_pairs", "dataset_split",
                  "stratified_mix", "domain_quota", "token_budget_pack",
                  "decontaminate", "pii_redact", "repetition_stats",
-                 "semantic_dedup"]:
+                 "semantic_dedup", "importance_topk"]:
         df = qs[name](spark, SF)
         plan = plan_of(df)
         out.append(f"\n## {name}\n")
