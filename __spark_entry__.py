@@ -1233,6 +1233,24 @@ def _sql_importance_topk() -> str:
     return duck_importance_topk_sql(target_pred="lang = 'en'", k=100)
 
 
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-span profile (Lee et al. 2022 signal): per doc,
+    how many of its 8-token gram positions occur in >=2 distinct
+    documents, as an exact integer permille.  Grams shuffle as one
+    md5-derived BIGINT each (text never leaves the scan stage); the
+    membership join is a shuffled equi-join on the uniform hash."""
+    from geojson_vt_rs_spark.operators.decontam import dup_span_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dup_span_stats(docs, k=8)
+
+
+def _sql_dup_spans() -> str:
+    from geojson_vt_rs_spark.operators.decontam import duck_dup_span_sql
+
+    return duck_dup_span_sql(k=8)
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023): IVF-cell
     cluster (16 centroids = the vec_id<16 rows), then drop rows with a
@@ -1464,6 +1482,7 @@ def _raw_queries() -> dict:
         "ann_pq_topk": q_ann_pq_topk,
         "semantic_dedup": q_semantic_dedup,
         "importance_topk": q_importance_topk,
+        "dup_spans": q_dup_spans,
         "phash_near_dups": q_phash_near_dups,
         "frame_sample": q_frame_sample,
         "vt_total_us_states": q_vt_total_us_states,
@@ -1523,6 +1542,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_pq_topk": _sql_ann_pq_topk(),
         "semantic_dedup": _sql_semantic_dedup(),
         "importance_topk": _sql_importance_topk(),
+        "dup_spans": _sql_dup_spans(),
         "phash_near_dups": _sql_phash_near_dups(),
         "frame_sample": _sql_frame_sample(),
         "vt_total_us_states": SQL_VT_TOTAL,

@@ -162,4 +162,103 @@ def duck_decontam_ctes(
     )
 
 
+# ------------------------------------------------- duplicate-span stats
+# Exact substring-level duplication (the signal behind Lee et al. 2022,
+# "Deduplicating Training Data Makes Language Models Better",
+# arXiv:2107.06499): a K-token gram is a DUP SPAN iff it occurs in >= 2
+# distinct documents.  A true suffix-array pass is inherently
+# sequential; the distributed-exact formulation is per-position K-gram
+# membership, which upper-bounds every duplicated substring of length
+# >= K (any such substring contains a shared K-gram at each offset).
+
+DUP_SPAN_K = 8
+
+
+def dup_span_stats(
+    docs: DataFrame,
+    k: int = DUP_SPAN_K,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document duplicated-span profile: (doc_id, n_grams,
+    n_dup_grams, dup_permille).
+
+    ``n_dup_grams`` counts gram POSITIONS whose k-token gram appears in
+    at least 2 distinct documents (self-repeats within one doc do not
+    count as duplication); ``dup_permille`` is the exact integer ratio
+    ``1000*n_dup_grams div n_grams``.  Docs with fewer than ``k`` words
+    contribute no rows.
+
+    Scale shape: grams are hashed to one BIGINT each (md5-derived, the
+    repo idiom) before any shuffle, so the wide text never leaves the
+    scan stage; the dup-gram set comes from a partial-agg
+    count-distinct on the gram hash, and the membership join is a
+    shuffled equi-join on that uniformly-distributed hash — no
+    broadcast assumption (the dup set is corpus-sized in the worst
+    case), no all-pairs join anywhere.
+    """
+    grams = (
+        docs.select(
+            F.col(key_col),
+            F.explode_outer(F.expr(_spark_ngrams(k))).alias("gram"),
+        )
+        .filter(F.col("gram").isNotNull())
+        .select(
+            key_col,
+            F.expr(
+                "cast(conv(substring(md5(gram), 1, 15), 16, 10) as bigint)"
+            ).alias("gh"),
+        )
+    )
+    dup = (
+        grams.groupBy("gh")
+        .agg(F.countDistinct(key_col).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gh")
+    )
+    per_doc = grams.groupBy(key_col).agg(F.count("*").alias("n_grams"))
+    dup_doc = (
+        grams.join(dup, "gh")
+        .groupBy(key_col)
+        .agg(F.count("*").alias("n_dup_grams"))
+    )
+    return (
+        per_doc.join(dup_doc, key_col, "left")
+        .select(
+            key_col,
+            "n_grams",
+            F.coalesce(F.col("n_dup_grams"), F.lit(0).cast("long")).alias(
+                "n_dup_grams"
+            ),
+        )
+        .withColumn(
+            "dup_permille", F.expr("(1000L * n_dup_grams) div n_grams")
+        )
+    )
+
+
+def duck_dup_span_sql(
+    k: int = DUP_SPAN_K,
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of dup_span_stats (same md5 gram hashes, same
+    integer permille; every count CAST to BIGINT)."""
+    gh = "(('0x' || substr(md5(gram), 1, 15))::BIGINT)"
+    return (
+        f"WITH g AS (SELECT doc_id, {gh} AS gh FROM ("
+        f"SELECT doc_id, unnest({_duck_ngrams(k)}) AS gram FROM {table} "
+        "WHERE text IS NOT NULL)), "
+        "dup AS (SELECT gh FROM (SELECT gh, "
+        "CAST(count(DISTINCT doc_id) AS BIGINT) AS nd FROM g GROUP BY gh) "
+        "WHERE nd >= 2), "
+        "pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams "
+        "FROM g GROUP BY doc_id), "
+        "dd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_grams "
+        "FROM g JOIN dup USING (gh) GROUP BY doc_id) "
+        "SELECT pd.doc_id, pd.n_grams, "
+        "COALESCE(dd.n_dup_grams, 0) AS n_dup_grams, "
+        "(1000 * COALESCE(dd.n_dup_grams, 0)) // pd.n_grams AS dup_permille "
+        "FROM pd LEFT JOIN dd ON pd.doc_id = dd.doc_id"
+    )
+
+
 assert N_BUCKETS == 10_000  # duck_hash_bucket inlines the modulus

@@ -81,3 +81,31 @@ def test_broadcast_and_shuffle_semi_join_agree(spark):
         for r in contaminated_doc_ids(docs, broadcast_eval=False).collect()
     )
     assert a == b and a
+
+
+def test_dup_span_stats_planted(spark):
+    """Planted shared 8-token span across two docs flags exactly the
+    overlapping gram positions; a self-repeating doc and unique docs
+    score 0; <k-word docs produce no row; permille is the exact
+    integer ratio."""
+    from geojson_vt_rs_spark.operators.decontam import dup_span_stats
+
+    span = "a b c d e f g h"            # 8 tokens -> exactly 1 gram
+    rows = [
+        (0, span + " x1 y1 z1"),        # grams: 4; 1 shared with doc 1
+        (1, "p q " + span),             # grams: 3; 1 shared with doc 0
+        (2, span.replace("a", "q0")),   # unique 8-token doc: 1 gram, 0 dup
+        (3, " ".join(["r"] * 20)),      # self-repeats only: not cross-doc
+        (4, "one two three"),           # < k words: no grams, no row
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        int(r["doc_id"]): (r["n_grams"], r["n_dup_grams"], r["dup_permille"])
+        for r in dup_span_stats(docs, k=8).collect()
+    }
+    assert got == {
+        0: (4, 1, 250),
+        1: (3, 1, 333),
+        2: (1, 0, 0),
+        3: (13, 0, 0),
+    }

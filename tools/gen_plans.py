@@ -163,6 +163,16 @@ AUDITS = {
          "tokenize/bucket/ratio are pure JVM integer expressions"),
         ("!Window", "no WindowExec"),
     ],
+    "dup_spans": [
+        ("BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin",
+         "dup-gram membership = equi-join on the md5 gram hash"),
+        ("!BroadcastNestedLoopJoin", "no all-pairs theta join"),
+        ("!CartesianProduct", "no cartesian"),
+        ("!BatchEvalPython|ArrowEvalPython|PythonUDF|MapInPandas",
+         "gram build + hash are pure JVM (zip_with chain, one md5/gram)"),
+        ("HashAggregate", "partial-agg count-distinct on the gram hash"),
+        ("!Window", "no WindowExec"),
+    ],
     "winnow_pairs": [
         ("BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin",
          "shared-fingerprint equi-join (complete blocking, no cross product)"),
@@ -201,7 +211,7 @@ def main():
                  "token_stats", "winnow_pairs", "dataset_split",
                  "stratified_mix", "domain_quota", "token_budget_pack",
                  "decontaminate", "pii_redact", "repetition_stats",
-                 "semantic_dedup", "importance_topk"]:
+                 "semantic_dedup", "importance_topk", "dup_spans"]:
         df = qs[name](spark, SF)
         plan = plan_of(df)
         out.append(f"\n## {name}\n")
