@@ -350,7 +350,9 @@ def main():
     extra = {}
     for name in ("ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk",
                  "cosine_near_dup", "simhash_near_pairs", "phash_near_dups",
-                 "frame_sample", "winnow_pairs"):
+                 "frame_sample", "winnow_pairs",
+                 # round-5 curation additions
+                 "semantic_dedup", "importance_topk", "dup_spans"):
         t0 = time.time()
         em.queries()[name](spark, SF_DIR).count()
         extra[name] = round(time.time() - t0, 3)
