@@ -382,7 +382,7 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_TOKEN_STATS = (
     "SELECT source, "
-    "CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS total_tokens, "
+    "CAST(sum(len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+'))) AS BIGINT) AS total_tokens, "
     "CAST(sum(length(text)) AS BIGINT) AS total_chars, count(*) AS n_docs "
     "FROM documents GROUP BY 1"
 )

@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .sampling import N_BUCKETS, duck_hash_bucket, hash_bucket
-from .text_dedup import _spark_words
+from .text_dedup import _duck_words, _spark_words
 
 N_GRAM = 5
 EVAL_CUT = 1_000  # 10% of N_BUCKETS
@@ -72,10 +72,7 @@ def _spark_ngrams(n: int = N_GRAM) -> str:
 
 
 def _duck_ngrams(n: int = N_GRAM) -> str:
-    w = (
-        "list_filter(regexp_split_to_array(trim(text), '\\s+'), "
-        "w -> length(w) > 0)"
-    )
+    w = _duck_words()
     return (
         f"list_transform(range(1, greatest(len({w})-{n}+1, 0)+1), "
         f"i -> array_to_string(list_slice({w}, i, i+{n}-1), ' '))"

@@ -47,7 +47,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .text_dedup import _spark_words
+from .text_dedup import _duck_words, _spark_words
 
 V_BUCKETS = 4_096
 SCALE = 1_000_000
@@ -138,10 +138,7 @@ def duck_importance_topk_sql(
     integer ratio (every DuckDB sum CAST to BIGINT before arithmetic:
     HUGEINT sums flip the driver's value-hash AND would widen the
     multiplication), `//` == positive-operand `div`."""
-    words = (
-        "list_filter(regexp_split_to_array(trim(text), '\\s+'), "
-        "w -> length(w) > 0)"
-    )
+    words = _duck_words()
     bucket = (
         f"(('0x' || substr(md5('{SEED}:' || tok), 1, 15))::BIGINT "
         f"% {V_BUCKETS})"

@@ -21,12 +21,14 @@ from pyspark.sql import functions as F
 from .decontam import _duck_ngrams, _spark_ngrams
 
 
-def with_repetition(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def with_repetition(docs: DataFrame) -> DataFrame:
     """Adds ``n_tokens``, ``n_distinct_tokens``, ``n_dup_bigrams``
     (bigram occurrences beyond each bigram's first) as long columns.
     Null text yields nulls; docs with < 2 tokens have 0 dup bigrams.
+
+    The shared n-gram exprs hard-bind the ``text`` column; rename
+    upstream (``df.withColumnRenamed``) to score a different column.
     """
-    assert text_col == "text"  # the shared n-gram exprs bind `text`
     w1 = _spark_ngrams(1)
     w2 = _spark_ngrams(2)
     return (

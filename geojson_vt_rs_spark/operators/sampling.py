@@ -181,8 +181,8 @@ def pack_to_budget(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = part.select(
-        group_col,
-        "_c",
+        F.col(group_col).alias("_g"),
+        F.col("_c").alias("_c2"),
         F.coalesce(F.sum("_csum").over(woff), F.lit(0)).alias("_off"),
     )
     wrun = (
@@ -190,13 +190,20 @@ def pack_to_budget(
         .orderBy("_b", key_col)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # NULL-SAFE group equality: a plain equi-join on group_col would
+    # silently drop every NULL-group row, while both window phases (and
+    # the DuckDB twin's PARTITION BY) treat NULL as a real group.
     return (
-        rows.join(F.broadcast(offsets), [group_col, "_c"])
+        rows.join(
+            F.broadcast(offsets),
+            F.col(group_col).eqNullSafe(F.col("_g"))
+            & (F.col("_c") == F.col("_c2")),
+        )
         .withColumn(
             "_cum", F.col("_off") + F.sum(F.col(weight_col)).over(wrun)
         )
         .filter(F.col("_cum") <= budget)
-        .drop("_b", "_c", "_off", "_cum")
+        .drop("_b", "_c", "_g", "_c2", "_off", "_cum")
     )
 
 

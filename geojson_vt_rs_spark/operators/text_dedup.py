@@ -351,11 +351,18 @@ def _batch_token_hashes(text, cache: dict):
     if n == 0:
         z = np.empty(0, dtype=np.int64)
         return z, z
-    uniq, inv = np.unique(np.asarray(tokens), return_inverse=True)
+    # '\x01' sentinel suffix: numpy's fixed-width unicode storage strips
+    # TRAILING NULs on item round-trip, so np.unique(['foo\x00','foo'])
+    # would collapse both to 'foo' and hash the truncated token.  With a
+    # non-NUL final char every token round-trips intact; strip exactly
+    # the sentinel before hashing.
+    uniq, inv = np.unique(
+        np.asarray([t + "\x01" for t in tokens]), return_inverse=True
+    )
     uh64 = np.empty(len(uniq), dtype=np.int64)
     ulo32 = np.empty(len(uniq), dtype=np.int64)
     for i, w in enumerate(uniq):
-        w = str(w)
+        w = str(w)[:-1]
         v = cache.get(w)
         if v is None:
             hx = hashlib.md5(w.encode("utf-8")).hexdigest()
@@ -459,7 +466,7 @@ def duck_simhash_sql(table: str = "documents") -> str:
     """Full DuckDB twin SELECT (doc_id, simhash): materializes the per-token
     hash array in a CTE (mirroring with_simhash's one-md5-per-token shape),
     then folds the 64 majority votes over it."""
-    words = "list_filter(regexp_split_to_array(trim(text), '\\s+'), w -> length(w) > 0)"
+    words = _duck_words()
     hs = f"list_transform({words}, w -> {_duck_word_hash64()})"
     terms = _simhash_bit_terms(SIMHASH_BITS, "hs", "len(hs)", spark=False)
     return (
@@ -577,6 +584,22 @@ def _spark_words() -> str:
     return "filter(split(trim(text), '\\\\s+'), w -> length(w) > 0)"
 
 
+# DuckDB twin of _spark_words().  Java's \s (the engine side, and the
+# batch kernels' _ASCII_WS) is the ASCII class [ \t\n\x0b\f\r]; RE2's \s
+# OMITS \x0b (vertical tab), so a '\s+' DuckDB oracle would tokenize
+# 'a\x0bb' as one word where Spark sees two.  The explicit class keeps
+# both engines byte-identical.  ONE point of change — every oracle that
+# tokenizes words must build on this helper.
+_DUCK_WS = r"[ \t\n\x0b\f\r]+"
+
+
+def _duck_words(col: str = "text") -> str:
+    return (
+        f"list_filter(regexp_split_to_array(trim({col}), '{_DUCK_WS}'), "
+        "w -> length(w) > 0)"
+    )
+
+
 def with_text_features(docs: DataFrame) -> DataFrame:
     """Quality metrics: token count, stopword count, punct count, mean
     word length — integer counts (exact cross-engine)."""
@@ -602,7 +625,7 @@ def with_text_features(docs: DataFrame) -> DataFrame:
 
 
 def duck_text_features_exprs() -> dict:
-    words = "list_filter(regexp_split_to_array(trim(text), '\\s+'), w -> length(w) > 0)"
+    words = _duck_words()
     stop_set = ", ".join(f"'{w}'" for w in STOPWORDS)
     return dict(
         n_tokens=f"len({words})",
@@ -820,10 +843,7 @@ def duck_winnow_sql(table: str = "documents") -> str:
     same guards, 1-based list indexing on both sides."""
     B, M = WINNOW_B, WINNOW_M
     B2, B3 = B * B, B * B * B
-    toks = (
-        "list_filter(regexp_split_to_array(trim(text), '\\s+'), "
-        "w -> length(w) > 0)"
-    )
+    toks = _duck_words()
     th = f"list_transform({toks}, w -> ('0x' || substr(md5(w), 1, 8))::BIGINT)"
     gram4 = (
         f"(th[i] * {B3} + th[i + 1] * {B2} + th[i + 2] * {B} + th[i + 3])"

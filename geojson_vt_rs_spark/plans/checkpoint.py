@@ -625,7 +625,16 @@ class CheckpointedPyramid:
                     else fr.filter(F.col("action") == "leaf").select(*TILED_COLS)
                 )
                 leaf_df.write.mode("append").partitionBy("z").parquet(stg_leaves)
-                n_leaf = int(leaf_df.count())
+                if opt_leaf_src is not None:
+                    # opt_leaf_src is deliberately UNPERSISTED (the 4M-OOM
+                    # fix): a second action would re-run the whole
+                    # convert+wrap recompute.  The optimistic wave ran the
+                    # root as 'split', so it emitted no K_LEAF rows — the
+                    # rows just staged are the only leaves this level, and
+                    # counting the parquet is a metadata-cheap re-read.
+                    n_leaf = int(spark.read.parquet(stg_leaves).count())
+                else:
+                    n_leaf = int(leaf_df.count())
             if opt_leaf_src is not None:
                 frontier.unpersist()
 

@@ -222,6 +222,12 @@ def test_batch_hash_kernels_match_expr(spark):
         "foo bar baz qux",
         "ab　c ab　c end",
     ]
+    # trailing-NUL token: numpy fixed-width unicode strips trailing
+    # NULs on round-trip, so an unprotected np.unique gather would
+    # hash 'foo' for 'foo\x00' AND collapse it with a real 'foo'
+    texts += ["foo\x00 foo bar", "a\x00\x00 a\x00 a"]
+    # vertical tab: whitespace to Java \s and _ASCII_WS alike
+    texts += ["a\x0bb c\x0b\x0bd"]
     long_docs = [doc(n) for n in (5000, 12000, 40000)]
     # a shared 200-token run across two long docs (winnowing guarantee)
     shared = doc(200)
@@ -331,6 +337,9 @@ def test_lsh_bucket_batch_null_and_nan(spark):
     # NaN accumulator compares greater-than-zero under Spark semantics:
     # every bit whose fold saw the NaN is set
     assert got["batch"][2] == 255
+
+
+def test_dedup_clusters_crafted_graph(spark):
     """Min-label propagation on a crafted graph: a 3-chain, a pair, and
     an isolated node resolve to the expected components; canonical set
     has one row per cluster with correct sizes."""

@@ -24,6 +24,10 @@ DOCS_ROWS = [
     (3, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "es"),
     (4, "nbsp separated words only four", "en"),  # non-ASCII ws
     (5, "short", None),         # null lang: target predicate is false
+    # vertical tab: Java \s splits it, RE2's '\s' does NOT — the
+    # shared _duck_words() helper pins the explicit ASCII class on the
+    # DuckDB side so both engines tokenize this doc identically
+    (6, "vt\x0bsplit words here must count like the rest too", "en"),
 ]
 
 EMB_ROWS = [

@@ -203,3 +203,37 @@ def test_importance_topk_prefers_target_vocab(spark):
         docs.repartition(13, "lang"), target_pred="lang = 'en'", k=40
     ).collect()
     assert {r["doc_id"]: r["avg_w"] for r in top_r} == scores
+
+
+def test_pack_to_budget_keeps_null_group(spark):
+    """NULL-group rows form a real group (null-safe offset join), exactly
+    matching the oracle's PARTITION BY semantics and the single-window
+    reference."""
+    import duckdb
+
+    from geojson_vt_rs_spark.operators.sampling import (
+        duck_pack_pred,
+        pack_to_budget,
+    )
+
+    rows = [
+        (i, None if i % 3 == 0 else f"l{i % 2}", 100 + i) for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, n long")
+    got = sorted(
+        r["doc_id"]
+        for r in pack_to_budget(docs, "lang", "n", budget=800).collect()
+    )
+    assert any(i % 3 == 0 for i in got), "null-lang rows must survive"
+
+    con = duckdb.connect()
+    con.register("docs", docs.toPandas())
+    pred = duck_pack_pred("lang", "n", 800)
+    want = sorted(
+        r[0]
+        for r in con.sql(
+            f"SELECT doc_id FROM (SELECT doc_id, {pred} AS c FROM docs) "
+            "WHERE c <= 800"
+        ).fetchall()
+    )
+    assert got == want
