@@ -47,11 +47,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .text_dedup import _duck_words, _spark_words
+from .text_dedup import _CACHE_REGISTRY, _duck_words, _plan_key, _spark_words
 
 V_BUCKETS = 4_096
 SCALE = 1_000_000
 SEED = "dsir-v1"
+
+# plan-keyed single-slot cache of the persisted per-(doc, bucket)
+# histogram (the _BAND_CACHE pattern, incl. the ADVICE-r4 None-key
+# eviction rule); registered so clear_dedup_caches() reaches it
+_HIST_CACHE: dict = {}
+_CACHE_REGISTRY.append(_HIST_CACHE)
 
 
 def _bucket_expr(tok: str, seed: str = SEED) -> str:
@@ -78,19 +84,34 @@ def token_buckets(docs: DataFrame, target_pred: str) -> DataFrame:
     )
 
 
-def bucket_weights(tokens: DataFrame) -> DataFrame:
+def doc_bucket_hist(tokens: DataFrame) -> DataFrame:
+    """(doc_id, lang, t, b, c) — per-document vocab-bucket histogram.
+
+    The ONE aggregation both phases derive from: the global per-bucket
+    counts are sums over it, and per-doc scores weight its rows — so the
+    corpus is token-exploded exactly once.  Row count is bounded by
+    sum(distinct buckets per doc) <= n_tokens, typically far smaller
+    (vocabulary reuse), which is why persisting IT instead of the raw
+    token stream is the scale move.
+    """
+    return tokens.groupBy("doc_id", "lang", "t", "b").agg(
+        F.count("*").alias("c")
+    )
+
+
+def bucket_weights(hist: DataFrame) -> DataFrame:
     """(b, w) fixed-point likelihood-ratio weights, <= V_BUCKETS rows.
 
-    One shuffle of at most V_BUCKETS rows (map-side partials); the
-    corpus/target totals ride along via a 1-row cross join (both sides
-    tiny) instead of a driver collect, so the plan is a pure function
-    of the input.
+    One shuffle of at most V_BUCKETS rows (map-side partials over the
+    histogram); the corpus/target totals ride along via a 1-row cross
+    join (both sides tiny) instead of a driver collect, so the plan is
+    a pure function of the input.
     """
-    cb = tokens.groupBy("b").agg(
-        F.count("*").alias("cq"), F.sum("t").alias("ct")
+    cb = hist.groupBy("b").agg(
+        F.sum("c").alias("cq"), F.sum(F.col("t") * F.col("c")).alias("ct")
     )
-    tot = tokens.agg(
-        F.count("*").alias("nq"), F.sum("t").alias("nt")
+    tot = hist.agg(
+        F.sum("c").alias("nq"), F.sum(F.col("t") * F.col("c")).alias("nt")
     )
     return cb.crossJoin(F.broadcast(tot)).select(
         "b",
@@ -112,13 +133,30 @@ def importance_topk(
     mean of the doc's per-token bucket weights (SCALE ~= ratio 1.0), so
     docs whose unigrams over-index in the target subcorpus rank first.
     Deterministic total order (avg_w desc, doc_id asc).
+
+    The per-(doc, bucket) histogram is persisted for its two consumers
+    (weight derivation + scoring) so the corpus is token-exploded ONCE;
+    scores are exact integer sums of c*w, identical to the per-token
+    formulation.  The persisted table lives in a plan-keyed single-slot
+    cache: a later call over a different input (or the same input —
+    every existing entry is evicted before storing, so nothing leaks
+    when the key is None) unpersists the old table.
     """
-    tokens = token_buckets(docs, target_pred)
-    wt = bucket_weights(tokens)
+    key = (_plan_key(docs), target_pred)
+    hist = _HIST_CACHE.get(key) if key[0] is not None else None
+    if hist is None:
+        hist = doc_bucket_hist(token_buckets(docs, target_pred)).persist()
+        for old in list(_HIST_CACHE):
+            _HIST_CACHE.pop(old).unpersist()
+        _HIST_CACHE[key] = hist
+    wt = bucket_weights(hist)
     scored = (
-        tokens.join(F.broadcast(wt), "b")
+        hist.join(F.broadcast(wt), "b")
         .groupBy("doc_id", "lang")
-        .agg(F.sum("w").alias("sw"), F.count("*").alias("n_tokens"))
+        .agg(
+            F.sum(F.col("c") * F.col("w")).alias("sw"),
+            F.sum("c").alias("n_tokens"),
+        )
         .select(
             "doc_id",
             "lang",

@@ -162,11 +162,18 @@ def _plan_key(df: DataFrame):
         return None
 
 
+# every plan-keyed persisted-table cache in the package registers here
+# so clear_dedup_caches() reaches all of them (importance.py adds its
+# histogram cache on import)
+_CACHE_REGISTRY: list = []
+
+
 def clear_dedup_caches() -> None:
-    """Unpersist and drop the plan-keyed band/fingerprint caches.
-    Needed after an in-place rewrite of a cached input path (the
-    semantic plan key cannot observe data changes)."""
-    for cache in (_BAND_CACHE, _WINNOW_CACHE):
+    """Unpersist and drop the plan-keyed persisted-table caches
+    (minhash/winnow bands, importance histograms).  Needed after an
+    in-place rewrite of a cached input path (the semantic plan key
+    cannot observe data changes)."""
+    for cache in (_BAND_CACHE, _WINNOW_CACHE, *_CACHE_REGISTRY):
         for k in list(cache):
             cache.pop(k).unpersist()
 

@@ -172,6 +172,7 @@ def test_importance_topk_prefers_target_vocab(spark):
         SCALE,
         V_BUCKETS,
         bucket_weights,
+        doc_bucket_hist,
         importance_topk,
         token_buckets,
     )
@@ -195,7 +196,7 @@ def test_importance_topk_prefers_target_vocab(spark):
     assert all(scores[i] < SCALE for i in range(1, 40, 2))
 
     # weight table is bounded by the vocab hash range
-    wt = bucket_weights(token_buckets(docs, "lang = 'en'"))
+    wt = bucket_weights(doc_bucket_hist(token_buckets(docs, "lang = 'en'")))
     assert wt.count() <= V_BUCKETS
 
     # partitioning invariance
