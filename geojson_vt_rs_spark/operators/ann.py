@@ -866,6 +866,12 @@ def semantic_dedup(
         F.expr(f"transform({vec_col}, v -> cast(v as double))").alias("emb"),
         F.col("ivf_cell"),
     ).withColumn("nrm", nrm)
+    # the self-join would otherwise evaluate the n_centroids interpreted
+    # argmax folds TWICE (one subtree per side — Catalyst does not CSE
+    # across self-join aliases); a lazy localCheckpoint materializes the
+    # (id, emb, cell, nrm) projection once, and its storage is freed
+    # when the plan is GC'd (no cache-manager leak)
+    d = d.localCheckpoint(eager=False)
     a = d.select(
         F.col(id_col).alias("id_a"), F.col("emb").alias("emb_a"),
         F.col("nrm").alias("nrm_a"), F.col("ivf_cell"),
