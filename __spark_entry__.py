@@ -744,6 +744,7 @@ def _sql_decontaminate() -> str:
         EVAL_CUT,
         duck_decontam_ctes,
     )
+    from geojson_vt_rs_spark.operators.sampling import duck_hash_bucket
     from geojson_vt_rs_spark.operators.text_dedup import (
         duck_text_features_exprs,
     )
@@ -757,8 +758,7 @@ def _sql_decontaminate() -> str:
         "CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM c) "
         f"THEN 0 ELSE {e['n_tokens']} END) AS BIGINT) AS kept_tokens "
         f"FROM documents WHERE "
-        "('0x' || substr(md5('decon-v1:' || CAST(doc_id AS VARCHAR)), 1, 15))"
-        f"::BIGINT % 10000 >= {EVAL_CUT} GROUP BY 1"
+        f"{duck_hash_bucket('doc_id', 'decon-v1')} >= {EVAL_CUT} GROUP BY 1"
     )
 
 

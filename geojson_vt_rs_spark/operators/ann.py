@@ -95,8 +95,19 @@ def with_lsh_bucket(
         import pandas as pd
         from pyspark.sql import types as T
 
+        # element-level nulls sanitize to a wholly-null vector JVM-side:
+        # Arrow->pandas delivers a null ELEMENT as NaN, indistinguishable
+        # from a true NaN — but the expr path's fold treats them
+        # differently (null element -> null fold -> CASE ELSE -> bucket
+        # 0; NaN element -> NaN fold -> bit SET under Spark's NaN
+        # ordering).  Pre-nullifying keeps the kernel bit-identical on
+        # both shapes without touching the caller-visible vec_col.
+        src = emb.withColumn(
+            "__lshvec",
+            F.expr(f"IF(exists({vec_col}, x -> x IS NULL), NULL, {vec_col})"),
+        )
         out_schema = T.StructType(
-            list(emb.schema.fields) + [T.StructField(out, T.LongType())]
+            list(src.schema.fields) + [T.StructField(out, T.LongType())]
         )
 
         def kernel(batches):
@@ -113,10 +124,10 @@ def with_lsh_bucket(
                 # old kernel crashed the executor instead), and a NaN
                 # accumulator SETS the bit — Spark's NaN ordering makes
                 # `NaN > 0D` true where numpy's comparison is False.
-                na = pdf[vec_col].isna().to_numpy()
+                na = pdf["__lshvec"].isna().to_numpy()
                 bucket = np.zeros(n, dtype=np.int64)
                 if (~na).any():
-                    M = np.array(list(pdf[vec_col][~na]), dtype=np.float64)
+                    M = np.array(list(pdf["__lshvec"][~na]), dtype=np.float64)
                     sub = np.zeros(len(M), dtype=np.int64)
                     for i in range(bits):
                         acc = np.zeros(len(M), dtype=np.float64)
@@ -130,7 +141,7 @@ def with_lsh_bucket(
                 pdf[out] = bucket
                 yield pdf
 
-        return emb.mapInPandas(kernel, schema=out_schema)
+        return src.mapInPandas(kernel, schema=out_schema).drop("__lshvec")
     if impl != "expr":
         raise ValueError(f"unknown impl: {impl!r}")
     d = emb

@@ -97,6 +97,8 @@ def duck_split_case(
     whens = " ".join(
         f"WHEN {b} < {t} THEN '{name}'" for name, t in ts[:-1]
     )
+    if not whens:  # single split: a bare `CASE ELSE` is a parse error
+        return f"'{ts[-1][0]}'"
     return f"CASE {whens} ELSE '{ts[-1][0]}' END"
 
 
@@ -138,7 +140,10 @@ def duck_sample_pred(
         f"WHEN {stratum_expr} = '{s}' THEN {int(round(r * N_BUCKETS))}"
         for s, r in sorted(rates.items())
     )
-    cut = f"CASE {whens} ELSE {int(round(default_rate * N_BUCKETS))} END"
+    default_cut = int(round(default_rate * N_BUCKETS))
+    if not whens:  # empty rates: a bare `CASE ELSE` is a parse error
+        return f"({b} < {default_cut})"
+    cut = f"CASE {whens} ELSE {default_cut} END"
     return f"({b} < {cut})"
 
 
@@ -168,7 +173,20 @@ def pack_to_budget(
     adds the broadcast offset.  The total equals the single-window
     cumulative sum over (group ORDER BY bucket, key) row for row, so the
     oracle twin is a plain ``sum() OVER (... ROWS UNBOUNDED PRECEDING)``.
+
+    ``weight_col`` must be INTEGRAL: the per-(group, coarse) partial
+    sums are unordered shuffle reductions, exact (and equal to the
+    single-window left fold) only for integer addition — a float weight
+    would reorder additions and could flip a row within one ULP of the
+    budget across engines/parallelism (CLAUDE.md sequential-fold
+    invariant).  Pre-scale floats to fixed-point upstream.
     """
+    wtype = df.schema[weight_col].dataType.simpleString()
+    if wtype not in ("bigint", "int", "smallint", "tinyint"):
+        raise ValueError(
+            f"pack_to_budget requires an integral weight_col; got "
+            f"{weight_col}: {wtype} — pre-scale to fixed-point"
+        )
     b = hash_bucket(F.col(key_col), seed)
     coarse = (b / (N_BUCKETS // N_COARSE)).cast("int")
     rows = df.withColumn("_b", b).withColumn("_c", coarse)

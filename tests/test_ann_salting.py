@@ -322,6 +322,11 @@ def test_lsh_bucket_batch_null_and_nan(spark):
         (1, None),
         (2, [float("nan"), 1.0, 1.0, 1.0]),
         (3, [0.0, 0.0, 0.0, 0.0]),
+        # element-level null: Arrow delivers it to pandas as NaN
+        # (indistinguishable from row 2's true NaN), but the expr fold
+        # yields NULL -> CASE ELSE -> bucket 0 — the kernel must
+        # sanitize these JVM-side, not guess from the NaN
+        (4, [1.0, None, 1.0, 1.0]),
     ]
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     got = {}
@@ -337,6 +342,7 @@ def test_lsh_bucket_batch_null_and_nan(spark):
     # NaN accumulator compares greater-than-zero under Spark semantics:
     # every bit whose fold saw the NaN is set
     assert got["batch"][2] == 255
+    assert got["batch"][4] == 0  # null ELEMENT -> null fold -> bucket 0
 
 
 def test_dedup_clusters_crafted_graph(spark):
