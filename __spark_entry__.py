@@ -1273,6 +1273,27 @@ def _sql_semantic_dedup() -> str:
     return duck_semantic_dedup_sql(n_centroids=16, threshold=0.3)
 
 
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative k-means (Lloyd's, 8 clusters x 3 rounds) for topic
+    balancing: fixed-point BIGINT arithmetic end to end, so the
+    iterative algorithm is EXACTLY oracle-checkable (the DuckDB twin
+    unrolls the loop into chained CTEs).  Assignment is a pure JVM
+    expression over inlined centroid literals; each round is one
+    posexplode partial-agg job collecting K*dims ints."""
+    from geojson_vt_rs_spark.operators.clustering import (
+        kmeans_cluster_stats,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return kmeans_cluster_stats(emb, n_clusters=8, iterations=3)
+
+
+def _sql_kmeans_clusters() -> str:
+    from geojson_vt_rs_spark.operators.clustering import duck_kmeans_sql
+
+    return duck_kmeans_sql(n_clusters=8, iterations=3, dims=64)
+
+
 # ---------------------------------------------- end-to-end engine (no SQL)
 def q_vt_total_us_states(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replays the reference's get_tile_us_states scenario (tests.rs:404-431)
@@ -1481,6 +1502,7 @@ def _raw_queries() -> dict:
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_pq_topk": q_ann_pq_topk,
         "semantic_dedup": q_semantic_dedup,
+        "kmeans_clusters": q_kmeans_clusters,
         "importance_topk": q_importance_topk,
         "dup_spans": q_dup_spans,
         "phash_near_dups": q_phash_near_dups,
@@ -1541,6 +1563,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": _sql_ann_ivf_topk(),
         "ann_pq_topk": _sql_ann_pq_topk(),
         "semantic_dedup": _sql_semantic_dedup(),
+        "kmeans_clusters": _sql_kmeans_clusters(),
         "importance_topk": _sql_importance_topk(),
         "dup_spans": _sql_dup_spans(),
         "phash_near_dups": _sql_phash_near_dups(),

@@ -1,0 +1,302 @@
+"""Iterative k-means (Lloyd's) over embedding tables, exactly
+cross-engine reproducible.
+
+The curation use-case is SemDeDup/DSIR-adjacent *topic balancing*: cluster
+the corpus embeddings, then inspect / cap / re-weight per cluster.  The
+reference repo has no counterpart (this is a training-data-pipeline
+extension); the iterative structure mirrors how the pyramid levels work
+(driver decides, cluster computes) — see plans/pyramid.py.
+
+Exactness contract (the whole point of this module):
+
+* Embeddings are quantized ONCE to fixed-point BIGINT at SCALE=1e6 via
+  ``floor(v * 1e6 + 0.5)`` — every later sum is INTEGER arithmetic, so
+  partial aggregation order cannot change a single bit (the float
+  sequential-fold invariant in CLAUDE.md does not even come into play).
+* Squared L2 distances are BIGINT folds over ``zip_with`` (values are
+  bounded by the quantized input range: |q| <= ~1e6 for unit-ish
+  embeddings -> d <= dims * 4e12, far inside int64).
+* Centroid updates are ``floor(double(sum) / n)`` computed IN-ENGINE on
+  both sides (int64 sums convert to double exactly below 2^53; the
+  division + floor is one IEEE op each, bit-identical across engines).
+* argmin tie-breaks on the cluster id ascending (struct sort on the
+  Spark side, ``ORDER BY d, k`` window on the DuckDB side).
+* Clusters that lose every member KEEP their previous centroid
+  (COALESCE in the oracle, a dict fallback in the driver loop).
+
+Scale shape (the 100-TB story):
+
+* each Lloyd iteration is ONE job: assignment is a pure JVM expression
+  over INLINED centroid literals (no join, no shuffle on the data path —
+  same pattern as ann.with_ivf_cell), followed by a
+  posexplode -> groupBy(k, pos) partial aggregation (map-side combine;
+  K*dims result rows).  The driver collects K*dims ints per iteration —
+  bounded, independent of table size.
+* lineage does NOT grow with iterations: every iteration's plan reads
+  the base table with fresh literals (no chained per-iteration plans —
+  the pyramid's hard-won lesson).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, functions as F
+
+SCALE = 1_000_000
+
+
+def quantize_sql(vec_expr: str) -> str:
+    """Spark-side fixed-point quantization of a float/double array."""
+    return (
+        f"transform({vec_expr}, v -> "
+        f"CAST(floor(CAST(v AS DOUBLE) * 1000000.0D + 0.5D) AS BIGINT))"
+    )
+
+
+def duck_quantize_sql(vec_expr: str) -> str:
+    """DuckDB twin of quantize_sql (identical IEEE ops)."""
+    return (
+        f"list_transform({vec_expr}::DOUBLE[], v -> "
+        f"CAST(floor(v * 1000000.0 + 0.5) AS BIGINT))"
+    )
+
+
+def _argmin_struct_sql(centroids: list[list[int]]) -> str:
+    """``struct(d, k)`` of the nearest centroid: array_sort over one
+    struct per centroid (lexicographic (d, k) — ties fall to the lowest
+    cluster id, matching the oracle window's ORDER BY d, k)."""
+    structs = []
+    for k, c in enumerate(centroids):
+        lit = "array(" + ", ".join(f"{int(v)}L" for v in c) + ")"
+        structs.append(
+            f"struct(aggregate(zip_with(q, {lit}, "
+            f"(a, b) -> (a - b) * (a - b)), 0L, (acc, v) -> acc + v) AS d, "
+            f"{k} AS k)"
+        )
+    return "element_at(array_sort(array(" + ", ".join(structs) + ")), 1)"
+
+
+def _iteration_agg(qdf: DataFrame, centroids: list[list[int]]) -> DataFrame:
+    """One Lloyd pass: per-(cluster, dim) integer sums + floored centroid
+    + member count + wss partial, all in ONE scan (count/wss ride the
+    pos==0 lane so no second aggregation touches the data)."""
+    a = _argmin_struct_sql(centroids)
+    # posexplode_OUTER: a plain posexplode makes Catalyst infer
+    # size(q) > 0 / isnotnull(q) and push the whole quantize transform
+    # into a scan-side Filter, re-evaluating it 2 extra times per row
+    # (the winnow lesson, CLAUDE.md).  q is never null/empty here, so
+    # the outer variant + a cheap generated-column null filter is
+    # semantically identical and keeps quantize evaluated ONCE.
+    sel = qdf.select(
+        F.expr(f"{a}.k").alias("k"),
+        F.expr(f"{a}.d").alias("d"),
+        F.expr("posexplode_outer(q)").alias("pos", "v"),
+    ).filter(F.col("pos").isNotNull())
+    return sel.groupBy("k", "pos").agg(
+        F.floor(F.sum("v").cast("double") / F.count(F.lit(1)))
+        .cast("long")
+        .alias("c"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("pos") == 0, F.col("d"))).alias("wpart"),
+    )
+
+
+def quantized(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    return emb.filter(F.col(vec_col).isNotNull()).select(
+        F.expr(quantize_sql(vec_col)).alias("q")
+    )
+
+
+def seed_centroids(
+    emb: DataFrame, n_clusters: int, id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[int]]:
+    """Deterministic init: the quantized vectors of the n_clusters
+    smallest ids (orderBy().limit -> TakeOrderedAndProject, never a
+    global sort)."""
+    rows = (
+        emb.filter(F.col(vec_col).isNotNull())
+        .select(id_col, F.expr(quantize_sql(vec_col)).alias("q"))
+        .orderBy(F.col(id_col).asc())
+        .limit(n_clusters)
+        .collect()
+    )
+    return [[int(v) for v in r["q"]] for r in rows]
+
+
+def kmeans_cluster_stats(
+    emb: DataFrame,
+    n_clusters: int = 8,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means for a fixed iteration count; returns per-cluster
+    (cluster, n_members, wss, centroid_checksum) of the FINAL assignment
+    — all BIGINT, bit-exact vs duck_kmeans_sql.
+
+    ``centroid_checksum`` is the sum over dims of the floored would-be
+    next centroid — it pins the full update arithmetic, not just the
+    partition of points.
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    cents = seed_centroids(emb, n_clusters, id_col, vec_col)
+    if len(cents) < n_clusters:
+        raise ValueError(
+            f"need >= {n_clusters} non-null rows to seed, got {len(cents)}"
+        )
+    qdf = quantized(emb, vec_col)
+    # iterations 1..N-1 update centroids driver-side (K*dims ints/round)
+    for _ in range(iterations - 1):
+        per = _iteration_agg(qdf, cents).collect()
+        upd: dict[int, dict[int, int]] = {}
+        for r in per:
+            upd.setdefault(int(r["k"]), {})[int(r["pos"])] = int(r["c"])
+        cents = [
+            [upd[k][i] for i in range(len(cents[k]))] if k in upd
+            else cents[k]  # empty cluster keeps its centroid
+            for k in range(n_clusters)
+        ]
+    # final pass: same one-scan agg, finished per-cluster JVM-side
+    per = _iteration_agg(qdf, cents)
+    return (
+        per.groupBy("k")
+        .agg(
+            F.max("n").alias("n_members"),
+            F.sum("wpart").alias("wss"),
+            F.sum("c").alias("centroid_checksum"),
+        )
+        .select(
+            F.col("k").cast("int").alias("cluster"),
+            F.col("n_members").cast("long").alias("n_members"),
+            F.col("wss").cast("long").alias("wss"),
+            F.col("centroid_checksum").cast("long").alias("centroid_checksum"),
+        )
+    )
+
+
+def duck_kmeans_sql(
+    n_clusters: int = 8,
+    iterations: int = 3,
+    dims: int = 64,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of kmeans_cluster_stats: the iteration loop unrolls
+    into chained CTEs (d{i} distances -> a{i} argmin window -> u{i}
+    update -> c{i} COALESCE with the previous round for empty clusters).
+    Integer sums wear CAST(.. AS BIGINT) (HUGEINT flips the value hash)
+    and every list index is 1-based."""
+    q = duck_quantize_sql(vec_col)
+    dist = (
+        "CAST(list_sum(list_transform(list_zip(t.q, c.c), "
+        "p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT)"
+    )
+
+    def cent_list() -> str:
+        terms = ", ".join(
+            f"CAST(floor(CAST(CAST(sum(q[{i + 1}]) AS BIGINT) AS DOUBLE) "
+            f"/ count(*)) AS BIGINT)"
+            for i in range(dims)
+        )
+        return f"[{terms}]"
+
+    ctes = [
+        f"qt AS (SELECT {id_col}, {q} AS q FROM {table} "
+        f"WHERE {vec_col} IS NOT NULL)",
+        "c0 AS (SELECT row_number() OVER (ORDER BY s0.{id} ASC) - 1 AS k, "
+        "s0.q AS c FROM (SELECT {id}, q FROM qt ORDER BY {id} ASC "
+        "LIMIT {K}) s0)".format(id=id_col, K=n_clusters),
+    ]
+    prev = "c0"
+    for i in range(1, iterations):
+        ctes.append(
+            f"d{i} AS (SELECT t.{id_col}, t.q, c.k, {dist} AS d "
+            f"FROM qt t CROSS JOIN {prev} c)"
+        )
+        ctes.append(
+            f"a{i} AS (SELECT {id_col}, q, k FROM (SELECT *, row_number() "
+            f"OVER (PARTITION BY {id_col} ORDER BY d ASC, k ASC) AS rn "
+            f"FROM d{i}) s WHERE rn = 1)"
+        )
+        ctes.append(
+            f"u{i} AS (SELECT k, {cent_list()} AS c "
+            f"FROM a{i} GROUP BY k)"
+        )
+        ctes.append(
+            f"c{i} AS (SELECT p.k, COALESCE(u.c, p.c) AS c "
+            f"FROM {prev} p LEFT JOIN u{i} u ON p.k = u.k)"
+        )
+        prev = f"c{i}"
+    n = iterations
+    ctes.append(
+        f"d{n} AS (SELECT t.{id_col}, t.q, c.k, {dist} AS d "
+        f"FROM qt t CROSS JOIN {prev} c)"
+    )
+    ctes.append(
+        f"a{n} AS (SELECT {id_col}, q, k, d FROM (SELECT *, row_number() "
+        f"OVER (PARTITION BY {id_col} ORDER BY d ASC, k ASC) AS rn "
+        f"FROM d{n}) s WHERE rn = 1)"
+    )
+    checksum = " + ".join(
+        f"CAST(floor(CAST(CAST(sum(q[{i + 1}]) AS BIGINT) AS DOUBLE) "
+        f"/ count(*)) AS BIGINT)"
+        for i in range(dims)
+    )
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        f"SELECT CAST(k AS INT) AS cluster, count(*) AS n_members, "
+        f"CAST(sum(d) AS BIGINT) AS wss, ({checksum}) AS centroid_checksum "
+        f"FROM a{n} GROUP BY k"
+    )
+
+
+def python_kmeans(
+    rows: list[tuple[int, list[float]]],
+    n_clusters: int,
+    iterations: int,
+) -> dict[int, tuple[int, int, int]]:
+    """Plain-Python reference (independent of BOTH engines) for tests:
+    {cluster: (n_members, wss, centroid_checksum)}."""
+    qs = [
+        (i, [math.floor(float(v) * 1_000_000.0 + 0.5) for v in vec])
+        for i, vec in rows if vec is not None
+    ]
+    seeds = sorted(qs)[:n_clusters]
+    cents = [list(q) for _, q in seeds]
+
+    def assign(q):
+        best = None
+        for k, c in enumerate(cents):
+            d = sum((a - b) * (a - b) for a, b in zip(q, c))
+            if best is None or (d, k) < best:
+                best = (d, k)
+        return best
+
+    for _ in range(iterations - 1):
+        members: dict[int, list[list[int]]] = {}
+        for _, q in qs:
+            _, k = assign(q)
+            members.setdefault(k, []).append(q)
+        for k, ms in members.items():
+            n = len(ms)
+            cents[k] = [
+                math.floor(float(sum(col)) / n) for col in zip(*ms)
+            ]
+    out: dict[int, list] = {}
+    for _, q in qs:
+        d, k = assign(q)
+        out.setdefault(k, []).append((d, q))
+    res = {}
+    for k, ms in out.items():
+        n = len(ms)
+        wss = sum(d for d, _ in ms)
+        cs = sum(
+            math.floor(float(sum(col)) / n)
+            for col in zip(*[q for _, q in ms])
+        )
+        res[k] = (n, wss, cs)
+    return res

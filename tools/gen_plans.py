@@ -173,6 +173,20 @@ AUDITS = {
         ("HashAggregate", "partial-agg count-distinct on the gram hash"),
         ("!Window", "no WindowExec"),
     ],
+    "kmeans_clusters": [
+        ("!BatchEvalPython|ArrowEvalPython|PythonUDF|MapInPandas",
+         "quantize + argmin + update sums are pure JVM integer exprs"),
+        ("!Window", "no WindowExec — argmin is a sortable-struct expr"),
+        ("!rangepartitioning", "no global range-sort"),
+        ("HashAggregate", "posexplode -> (k, pos) partial+final agg "
+         "(map-side combine; K*dims result rows per iteration)"),
+        ("!Condition : .*transform",
+         "quantize evaluated ONCE — no Catalyst-inferred scan-side "
+         "size()/isnotnull() filter re-running the transform "
+         "(posexplode_outer + generated-col null filter)"),
+        ("!CartesianProduct|BroadcastNestedLoopJoin",
+         "assignment joins nothing — centroids are inlined literals"),
+    ],
     "winnow_pairs": [
         ("BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin",
          "shared-fingerprint equi-join (complete blocking, no cross product)"),
@@ -211,7 +225,8 @@ def main():
                  "token_stats", "winnow_pairs", "dataset_split",
                  "stratified_mix", "domain_quota", "token_budget_pack",
                  "decontaminate", "pii_redact", "repetition_stats",
-                 "semantic_dedup", "importance_topk", "dup_spans"]:
+                 "semantic_dedup", "importance_topk", "dup_spans",
+                 "kmeans_clusters"]:
         df = qs[name](spark, SF)
         plan = plan_of(df)
         out.append(f"\n## {name}\n")
