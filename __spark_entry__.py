@@ -1273,6 +1273,24 @@ def _sql_semantic_dedup() -> str:
     return duck_semantic_dedup_sql(n_centroids=16, threshold=0.3)
 
 
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword-search top-20 (k1=1.2, b=0.75) for the corpus's own
+    top-3 df terms: per-(doc, term) contributions floor to fixed-point
+    BIGINT so the per-doc score is an order-free integer sum; idf is the
+    repo's round-6 in-engine ln convention.  No window, no join on the
+    data path (3-branch CASE idf), top-k = TakeOrderedAndProject."""
+    from geojson_vt_rs_spark.operators.search import bm25_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bm25_topk(docs, k=20, n_query_terms=3)
+
+
+def _sql_bm25_topk() -> str:
+    from geojson_vt_rs_spark.operators.search import duck_bm25_sql
+
+    return duck_bm25_sql(k=20, n_query_terms=3)
+
+
 def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative k-means (Lloyd's, 8 clusters x 3 rounds) for topic
     balancing: fixed-point BIGINT arithmetic end to end, so the
@@ -1503,6 +1521,7 @@ def _raw_queries() -> dict:
         "ann_pq_topk": q_ann_pq_topk,
         "semantic_dedup": q_semantic_dedup,
         "kmeans_clusters": q_kmeans_clusters,
+        "bm25_topk": q_bm25_topk,
         "importance_topk": q_importance_topk,
         "dup_spans": q_dup_spans,
         "phash_near_dups": q_phash_near_dups,
@@ -1564,6 +1583,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_pq_topk": _sql_ann_pq_topk(),
         "semantic_dedup": _sql_semantic_dedup(),
         "kmeans_clusters": _sql_kmeans_clusters(),
+        "bm25_topk": _sql_bm25_topk(),
         "importance_topk": _sql_importance_topk(),
         "dup_spans": _sql_dup_spans(),
         "phash_near_dups": _sql_phash_near_dups(),

@@ -173,6 +173,18 @@ AUDITS = {
         ("HashAggregate", "partial-agg count-distinct on the gram hash"),
         ("!Window", "no WindowExec"),
     ],
+    "bm25_topk": [
+        ("TakeOrderedAndProject",
+         "top-k cut is per-partition local top-k, no global sort"),
+        ("!rangepartitioning", "no global range-sort"),
+        ("!Window", "no WindowExec"),
+        ("!BatchEvalPython|ArrowEvalPython|PythonUDF|MapInPandas",
+         "tokenize/tf/idf/score are pure JVM expressions"),
+        ("!CartesianProduct|BroadcastNestedLoopJoin",
+         "idf is a 3-branch CASE over inlined literals — no join on "
+         "the data path"),
+        ("HashAggregate", "tf + per-doc partial+final aggs"),
+    ],
     "kmeans_clusters": [
         ("!BatchEvalPython|ArrowEvalPython|PythonUDF|MapInPandas",
          "quantize + argmin + update sums are pure JVM integer exprs"),
@@ -226,7 +238,7 @@ def main():
                  "stratified_mix", "domain_quota", "token_budget_pack",
                  "decontaminate", "pii_redact", "repetition_stats",
                  "semantic_dedup", "importance_topk", "dup_spans",
-                 "kmeans_clusters"]:
+                 "kmeans_clusters", "bm25_topk"]:
         df = qs[name](spark, SF)
         plan = plan_of(df)
         out.append(f"\n## {name}\n")
