@@ -82,17 +82,22 @@ def _iteration_agg(qdf: DataFrame, centroids: list[list[int]]) -> DataFrame:
     + member count + wss partial, all in ONE scan (count/wss ride the
     pos==0 lane so no second aggregation touches the data)."""
     a = _argmin_struct_sql(centroids)
-    # posexplode_OUTER: a plain posexplode makes Catalyst infer
-    # size(q) > 0 / isnotnull(q) and push the whole quantize transform
-    # into a scan-side Filter, re-evaluating it 2 extra times per row
-    # (the winnow lesson, CLAUDE.md).  q is never null/empty here, so
-    # the outer variant + a cheap generated-column null filter is
-    # semantically identical and keeps quantize evaluated ONCE.
-    sel = qdf.select(
-        F.expr(f"{a}.k").alias("k"),
-        F.expr(f"{a}.d").alias("d"),
-        F.expr("posexplode_outer(q)").alias("pos", "v"),
-    ).filter(F.col("pos").isNotNull())
+    # The argmin must ride INSIDE the generator expression: selecting
+    # it beside posexplode(q) leaves the argmin Project ABOVE the
+    # Generate, so the whole fold re-evaluates on every one of the 64
+    # generated rows per input row (measured 64x: 12s/iteration at a
+    # 2000-row sf0.1 table).  The single-element-array transform
+    # let-binds the argmin struct once per row (`s`), the inner
+    # indexed transform fans it out over the dims, and inline_OUTER
+    # (not inline) keeps Catalyst from inferring size()>0 and pushing
+    # the expression into a scan-side filter (the winnow lesson,
+    # CLAUDE.md) — quantize + argmin evaluate exactly ONCE per row.
+    gen = (
+        f"inline_outer(element_at(transform(array({a}), s -> "
+        "transform(q, (v, i) -> "
+        "struct(s.k AS k, s.d AS d, i AS pos, v AS v))), 1))"
+    )
+    sel = qdf.select(F.expr(gen)).filter(F.col("pos").isNotNull())
     return sel.groupBy("k", "pos").agg(
         F.floor(F.sum("v").cast("double") / F.count(F.lit(1)))
         .cast("long")
