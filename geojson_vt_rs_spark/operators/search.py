@@ -105,7 +105,8 @@ def bm25_topk(
     if not terms:
         raise ValueError("corpus has no tokens")
 
-    term_set = ", ".join(f"'{t}'" for t, _ in terms)
+    # term literals go through the Column API (F.lit / isin), never SQL
+    # text — corpus tokens may contain quotes/backslashes
     toks = (
         base.select(
             "doc_id",
@@ -113,22 +114,22 @@ def bm25_topk(
             F.expr(f"explode_outer({words})").alias("tok"),
         )
         .filter(F.col("tok").isNotNull())
-        .filter(F.expr(f"tok IN ({term_set})"))
+        .filter(F.col("tok").isin([t for t, _ in terms]))
     )
     tf = toks.groupBy("doc_id", "tok").agg(
         F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl")
     )
-    idf_case = (
-        "CASE "
-        + " ".join(
-            f"WHEN tok = '{t}' THEN {_spark_idf(n_docs, df)}"
-            for t, df in terms
+    idf_case = None
+    for t, df in terms:
+        cond = F.col("tok") == F.lit(t)
+        val = F.expr(_spark_idf(n_docs, df))
+        idf_case = (
+            F.when(cond, val) if idf_case is None
+            else idf_case.when(cond, val)
         )
-        + " END"
-    )
-    scored = tf.withColumn(
-        "s", F.expr(_spark_score(n_docs, total_tokens, idf_case))
-    )
+    scored = tf.withColumn("__idf", idf_case).withColumn(
+        "s", F.expr(_spark_score(n_docs, total_tokens, "__idf"))
+    ).drop("__idf")
     return (
         scored.groupBy("doc_id")
         .agg(

@@ -21,7 +21,7 @@ from geojson_vt_rs_spark.operators.search import duck_bm25_sql, python_bm25
 
 # words over a tiny alphabet (forces df ties + tf>1), joined by the full
 # ASCII whitespace class incl. \x0b/\x0c (the RE2-vs-Java divergence)
-_word = st.text(alphabet="abz", min_size=1, max_size=3)
+_word = st.text(alphabet="abz'\\", min_size=1, max_size=3)
 _sep = st.sampled_from([" ", "\t", "\n", "\x0b", "\x0c", "\r", "  "])
 
 

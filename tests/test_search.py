@@ -81,6 +81,21 @@ def test_bm25_whitespace_class_and_nulls(spark):
     assert all(i != 4 for i, _, _ in got)
 
 
+def test_bm25_quote_and_backslash_tokens(spark):
+    # corpus tokens containing SQL/string metacharacters must flow
+    # through the Column API untouched (term literals are never
+    # interpolated into expression text)
+    rows = [
+        (0, "don't don't o'brien"),
+        (1, "don't back\\slash"),
+        (2, "back\\slash back\\slash don't"),
+        (3, "plain words here"),
+    ]
+    got, want, py = _all_three(spark, rows, k=4, q=2)
+    assert got == want == py
+    assert len(got) == 3  # doc 3 shares no top-2 term
+
+
 def test_bm25_tie_cut_and_partitioning(spark):
     # 6 identical docs tie exactly; with k=4 the cut keeps the 4 lowest
     # doc_ids — both engines must agree on the boundary
