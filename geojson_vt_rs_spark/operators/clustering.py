@@ -119,7 +119,8 @@ def seed_centroids(
 ) -> list[list[int]]:
     """Deterministic init: the quantized vectors of the n_clusters
     smallest ids (orderBy().limit -> TakeOrderedAndProject, never a
-    global sort)."""
+    global sort).  ``id_col`` must be UNIQUE — duplicate ids make the
+    seed pick (and the oracle's row_number tie) engine-dependent."""
     rows = (
         emb.filter(F.col(vec_col).isNotNull())
         .select(id_col, F.expr(quantize_sql(vec_col)).alias("q"))
