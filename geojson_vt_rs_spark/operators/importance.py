@@ -44,10 +44,21 @@ training-pipeline surface.
 
 from __future__ import annotations
 
+import hashlib
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
-from .text_dedup import _CACHE_REGISTRY, _duck_words, _plan_key, _spark_words
+from .text_dedup import (
+    _ASCII_WS,
+    _CACHE_REGISTRY,
+    _duck_words,
+    _plan_key,
+    _spark_words,
+)
 
 V_BUCKETS = 4_096
 SCALE = 1_000_000
@@ -99,6 +110,98 @@ def doc_bucket_hist(tokens: DataFrame) -> DataFrame:
     )
 
 
+def _doc_buckets(text, cache: dict):
+    """(b, c) int64 arrays — the doc's per-vocab-bucket token counts,
+    one md5 per DISTINCT token (via the cross-doc ``cache``).  The
+    batch twin of token_buckets+doc_bucket_hist for ONE document:
+    tokenizes on the ASCII whitespace class (text_dedup._ASCII_WS —
+    Java ``\\s`` semantics, empties filtered) and buckets with the
+    same seeded md5 as _bucket_expr, so outputs are byte-identical to
+    the expr path (asserted by tests incl. non-ASCII whitespace and
+    null text)."""
+    tokens = (
+        [t for t in _ASCII_WS.split(text) if t] if isinstance(text, str)
+        else []
+    )
+    if not tokens:
+        z = np.empty(0, dtype=np.int64)
+        return z, z
+    # '\x01' sentinel: numpy fixed-width unicode strips TRAILING NULs
+    # (the _batch_token_hashes rule) — keep tokens round-trip intact
+    uniq, inv = np.unique(
+        np.asarray([t + "\x01" for t in tokens]), return_inverse=True
+    )
+    ub = np.empty(len(uniq), dtype=np.int64)
+    for i, w in enumerate(uniq):
+        w = str(w)[:-1]
+        v = cache.get(w)
+        if v is None:
+            hx = hashlib.md5(f"{SEED}:{w}".encode("utf-8")).hexdigest()
+            v = int(hx[:15], 16) % V_BUCKETS
+            cache[w] = v
+        ub[i] = v
+    cnt = np.bincount(ub[inv])
+    b = np.nonzero(cnt)[0].astype(np.int64)
+    return b, cnt[b]
+
+
+def doc_bucket_hist_batch(docs: DataFrame, target_pred: str) -> DataFrame:
+    """Batch-kernel twin of ``doc_bucket_hist(token_buckets(..))``: the
+    per-document histogram is a row-local computation (a doc's tokens
+    live in its own row), so ONE mapInPandas pass emits (doc_id, lang,
+    t, b, c) directly — the token stream is never exploded into the
+    engine and never shuffled (the expr path shuffles ~n_tokens rows
+    into its groupBy).  One md5 per DISTINCT token per Arrow batch.
+
+    Docs with no tokens (null/empty/whitespace text) emit no rows,
+    matching explode_outer + not-null filter."""
+    d = docs.select(
+        "doc_id",
+        "lang",
+        F.expr(f"CASE WHEN {target_pred} THEN 1L ELSE 0L END").alias("t"),
+        "text",
+    )
+    fields = {f.name: f for f in d.schema.fields}
+    out_schema = T.StructType(
+        [
+            fields["doc_id"],
+            fields["lang"],
+            T.StructField("t", T.LongType()),
+            T.StructField("b", T.LongType()),
+            T.StructField("c", T.LongType()),
+        ]
+    )
+
+    def kernel(batches):
+        cache: dict = {}
+        for pdf in batches:
+            ids, langs, ts, bs, cs = [], [], [], [], []
+            for did, lg, tt, tx in zip(
+                pdf["doc_id"], pdf["lang"], pdf["t"], pdf["text"]
+            ):
+                b, c = _doc_buckets(tx, cache)
+                if len(b) == 0:
+                    continue
+                ids.append(np.full(len(b), did))
+                langs.extend([lg] * len(b))
+                ts.append(np.full(len(b), tt, dtype=np.int64))
+                bs.append(b)
+                cs.append(c)
+            if not bs:
+                continue
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.concatenate(ids),
+                    "lang": langs,
+                    "t": np.concatenate(ts),
+                    "b": np.concatenate(bs),
+                    "c": np.concatenate(cs),
+                }
+            )
+
+    return d.mapInPandas(kernel, schema=out_schema)
+
+
 def bucket_weights(hist: DataFrame) -> DataFrame:
     """(b, w) fixed-point likelihood-ratio weights, <= V_BUCKETS rows.
 
@@ -126,6 +229,7 @@ def importance_topk(
     docs: DataFrame,
     target_pred: str = "lang = 'en'",
     k: int = 100,
+    impl: str = "batch",
 ) -> DataFrame:
     """Top-``k`` documents by mean fixed-point importance weight.
 
@@ -134,18 +238,31 @@ def importance_topk(
     docs whose unigrams over-index in the target subcorpus rank first.
     Deterministic total order (avg_w desc, doc_id asc).
 
-    The per-(doc, bucket) histogram is persisted for its two consumers
-    (weight derivation + scoring) so the corpus is token-exploded ONCE;
-    scores are exact integer sums of c*w, identical to the per-token
-    formulation.  The persisted table lives in a plan-keyed single-slot
-    cache: a later call over a different input (or the same input —
-    every existing entry is evicted before storing, so nothing leaks
-    when the key is None) unpersists the old table.
+    ``impl="batch"`` (default) computes the per-(doc, bucket) histogram
+    in ONE mapInPandas pass (doc_bucket_hist_batch — row-local, one md5
+    per distinct token, no token-stream shuffle); ``impl="expr"`` keeps
+    the pure-JVM explode+groupBy formulation the DuckDB oracle mirrors
+    literally.  Histograms are byte-identical (asserted by tests), so
+    everything downstream — and the oracle — checks either path.
+
+    The histogram is persisted for its two consumers (weight derivation
+    + scoring) so the corpus is scanned/exploded ONCE; scores are exact
+    integer sums of c*w, identical to the per-token formulation.  The
+    persisted table lives in a plan-keyed single-slot cache: a later
+    call over a different input (or the same input — every existing
+    entry is evicted before storing, so nothing leaks when the key is
+    None) unpersists the old table.
     """
-    key = (_plan_key(docs), target_pred)
+    if impl not in ("batch", "expr"):
+        raise ValueError(f"unknown impl: {impl!r}")
+    key = (_plan_key(docs), target_pred, impl)
     hist = _HIST_CACHE.get(key) if key[0] is not None else None
     if hist is None:
-        hist = doc_bucket_hist(token_buckets(docs, target_pred)).persist()
+        hist = (
+            doc_bucket_hist_batch(docs, target_pred)
+            if impl == "batch"
+            else doc_bucket_hist(token_buckets(docs, target_pred))
+        ).persist()
         for old in list(_HIST_CACHE):
             _HIST_CACHE.pop(old).unpersist()
         _HIST_CACHE[key] = hist

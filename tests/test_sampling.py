@@ -206,6 +206,50 @@ def test_importance_topk_prefers_target_vocab(spark):
     assert {r["doc_id"]: r["avg_w"] for r in top_r} == scores
 
 
+def test_importance_hist_batch_matches_expr(spark):
+    """The mapInPandas histogram kernel is byte-identical to the
+    explode+groupBy expr path on every shape that has burned a batch
+    kernel before: non-ASCII whitespace (NBSP/ideographic space are
+    TOKEN chars, \\x0b IS a separator), null/empty/whitespace-only text
+    (no rows emitted), trailing-NUL tokens (the np.unique sentinel),
+    and a highly repetitive doc (the distinct-token gather)."""
+    from geojson_vt_rs_spark.operators.importance import (
+        doc_bucket_hist,
+        doc_bucket_hist_batch,
+        importance_topk,
+        token_buckets,
+    )
+
+    rows = [
+        (0, "plain ascii tokens here", "en"),
+        (1, "nbsp stays one　token", "en"),
+        (2, "vtab\x0bsplits\x0btokens", "es"),
+        (3, None, "en"),
+        (4, "", "es"),
+        (5, " \t\n ", "en"),
+        (6, ("lorem ipsum " * 500).strip(), "es"),
+        (7, "foo\x00 foo foo\x00bar", "en"),
+        (8, "uno dos tres uno uno dos", "es"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    pred = "lang = 'en'"
+
+    def key(r):
+        return (r["doc_id"], r["lang"], r["t"], r["b"], r["c"])
+
+    batch = sorted(map(key, doc_bucket_hist_batch(docs, pred).collect()))
+    expr = sorted(
+        map(key, doc_bucket_hist(token_buckets(docs, pred)).collect())
+    )
+    assert batch == expr and len(batch) > 0
+    # docs 3/4/5 emit no histogram rows on either path
+    assert not any(r[0] in (3, 4, 5) for r in batch)
+
+    t_b = importance_topk(docs, pred, k=9, impl="batch").collect()
+    t_e = importance_topk(docs, pred, k=9, impl="expr").collect()
+    assert [tuple(r) for r in t_b] == [tuple(r) for r in t_e]
+
+
 def test_pack_to_budget_keeps_null_group(spark):
     """NULL-group rows form a real group (null-safe offset join), exactly
     matching the oracle's PARTITION BY semantics and the single-window

@@ -157,10 +157,13 @@ AUDITS = {
          "top-k by mean weight — per-partition local top-k, no global sort"),
         ("!rangepartitioning", "no global range-sort"),
         ("BroadcastHashJoin",
-         "the <=V_BUCKETS-row weight table broadcasts onto the token "
-         "stream; scoring is map-side + one per-doc partial agg"),
-        ("!BatchEvalPython|ArrowEvalPython|PythonUDF|MapInPandas",
-         "tokenize/bucket/ratio are pure JVM integer expressions"),
+         "the <=V_BUCKETS-row weight table broadcasts onto the "
+         "histogram; scoring is map-side + one per-doc partial agg"),
+        ("MapInPandas",
+         "per-doc bucket histogram is row-local — ONE Arrow kernel "
+         "(one md5 per DISTINCT token) emits (doc,b,c) directly; the "
+         "token stream is never exploded/shuffled (expr twin kept for "
+         "the oracle, byte-identical)"),
         ("!Window", "no WindowExec"),
     ],
     "dup_spans": [
