@@ -1291,6 +1291,26 @@ def _sql_bm25_topk() -> str:
     return duck_bm25_sql(k=20, n_query_terms=3)
 
 
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality filter (Wenzek et al. 2020): add-one
+    smoothed hashed-bigram LM trained on the corpus itself, top-100
+    most fluent docs by mean fixed-point NLL (integer sum — shuffle-
+    order-free).  The per-doc bigram histogram is computed row-locally
+    in ONE Arrow kernel (never exploding the token stream); ln wears
+    the repo's round-6 in-engine convention; the cut is
+    TakeOrderedAndProject."""
+    from geojson_vt_rs_spark.operators.lm import lm_perplexity_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return lm_perplexity_topk(docs, k=100)
+
+
+def _sql_lm_perplexity() -> str:
+    from geojson_vt_rs_spark.operators.lm import duck_lm_perplexity_sql
+
+    return duck_lm_perplexity_sql(k=100)
+
+
 def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative k-means (Lloyd's, 8 clusters x 3 rounds) for topic
     balancing: fixed-point BIGINT arithmetic end to end, so the
@@ -1523,6 +1543,7 @@ def _raw_queries() -> dict:
         "kmeans_clusters": q_kmeans_clusters,
         "bm25_topk": q_bm25_topk,
         "importance_topk": q_importance_topk,
+        "lm_perplexity": q_lm_perplexity,
         "dup_spans": q_dup_spans,
         "phash_near_dups": q_phash_near_dups,
         "frame_sample": q_frame_sample,
@@ -1585,6 +1606,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_clusters": _sql_kmeans_clusters(),
         "bm25_topk": _sql_bm25_topk(),
         "importance_topk": _sql_importance_topk(),
+        "lm_perplexity": _sql_lm_perplexity(),
         "dup_spans": _sql_dup_spans(),
         "phash_near_dups": _sql_phash_near_dups(),
         "frame_sample": _sql_frame_sample(),

@@ -352,8 +352,8 @@ def main():
                  "cosine_near_dup", "simhash_near_pairs", "phash_near_dups",
                  "frame_sample", "winnow_pairs",
                  # round-5 curation additions
-                 "semantic_dedup", "importance_topk", "dup_spans",
-                 "kmeans_clusters", "bm25_topk"):
+                 "semantic_dedup", "importance_topk", "lm_perplexity",
+                 "dup_spans", "kmeans_clusters", "bm25_topk"):
         t0 = time.time()
         em.queries()[name](spark, SF_DIR).count()
         extra[name] = round(time.time() - t0, 3)

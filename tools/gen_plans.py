@@ -166,6 +166,21 @@ AUDITS = {
          "the oracle, byte-identical)"),
         ("!Window", "no WindowExec"),
     ],
+    "lm_perplexity": [
+        ("TakeOrderedAndProject",
+         "top-k by mean NLL — per-partition local top-k, no global sort"),
+        ("!rangepartitioning", "no global range-sort"),
+        ("MapInPandas",
+         "per-doc bigram histogram is row-local — ONE Arrow kernel "
+         "(one md5 per DISTINCT token); the bigram stream is never "
+         "exploded/shuffled (expr twin kept for the oracle)"),
+        ("BroadcastHashJoin",
+         "the <=LM_BUCKETS-row context-total table broadcasts onto "
+         "c12; the model join itself is a plain equi-join (c12 can be "
+         "LM_BUCKETS^2 rows — never force-broadcast)"),
+        ("!BroadcastNestedLoopJoin", "no all-pairs theta join"),
+        ("!Window", "no WindowExec"),
+    ],
     "dup_spans": [
         ("BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin",
          "dup-gram membership = equi-join on the md5 gram hash"),
@@ -240,8 +255,8 @@ def main():
                  "token_stats", "winnow_pairs", "dataset_split",
                  "stratified_mix", "domain_quota", "token_budget_pack",
                  "decontaminate", "pii_redact", "repetition_stats",
-                 "semantic_dedup", "importance_topk", "dup_spans",
-                 "kmeans_clusters", "bm25_topk"]:
+                 "semantic_dedup", "importance_topk", "lm_perplexity",
+                 "dup_spans", "kmeans_clusters", "bm25_topk"]:
         df = qs[name](spark, SF)
         plan = plan_of(df)
         out.append(f"\n## {name}\n")
