@@ -1291,6 +1291,26 @@ def _sql_bm25_topk() -> str:
     return duck_bm25_sql(k=20, n_query_terms=3)
 
 
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch (Beyer et al. SIGMOD'07): distinct
+    custkeys per order priority from the 256 minimum md5 hashes — the
+    bounded-state alternative to exact count-distinct at 100 TB.
+    Deterministic given the hash, so the 'sketch' has an EXACT oracle.
+    Salt-lane partitioned rank windows (the domain_quota pattern),
+    never an unpartitioned sort; shuffle volume caps at groups*k rows
+    after the first distinct."""
+    from geojson_vt_rs_spark.operators.sketch import kmv_distinct
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return kmv_distinct(orders, "o_orderpriority", "o_custkey", k=256)
+
+
+def _sql_kmv_distinct() -> str:
+    from geojson_vt_rs_spark.operators.sketch import duck_kmv_sql
+
+    return duck_kmv_sql("o_orderpriority", "o_custkey", k=256)
+
+
 def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality filter (Wenzek et al. 2020): add-one
     smoothed hashed-bigram LM trained on the corpus itself, top-100
@@ -1544,6 +1564,7 @@ def _raw_queries() -> dict:
         "bm25_topk": q_bm25_topk,
         "importance_topk": q_importance_topk,
         "lm_perplexity": q_lm_perplexity,
+        "kmv_distinct": q_kmv_distinct,
         "dup_spans": q_dup_spans,
         "phash_near_dups": q_phash_near_dups,
         "frame_sample": q_frame_sample,
@@ -1607,6 +1628,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": _sql_bm25_topk(),
         "importance_topk": _sql_importance_topk(),
         "lm_perplexity": _sql_lm_perplexity(),
+        "kmv_distinct": _sql_kmv_distinct(),
         "dup_spans": _sql_dup_spans(),
         "phash_near_dups": _sql_phash_near_dups(),
         "frame_sample": _sql_frame_sample(),

@@ -181,6 +181,17 @@ AUDITS = {
         ("!BroadcastNestedLoopJoin", "no all-pairs theta join"),
         ("!Window", "no WindowExec"),
     ],
+    "kmv_distinct": [
+        ("windowspecdefinition\\(g",
+         "rank windows PARTITIONED by (group[, lane]) — the salt-lane "
+         "min-k pattern, never an unpartitioned sort"),
+        ("!rangepartitioning", "no global range-sort"),
+        ("!BatchEvalPython|ArrowEvalPython|PythonUDF|MapInPandas",
+         "hash + rank + estimator are pure JVM"),
+        ("HashAggregate", "partial-agg distinct on (group, hash)"),
+        ("!ReadSchema.*comment", "value hashes map-side; only the two "
+         "needed columns are scanned"),
+    ],
     "dup_spans": [
         ("BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin",
          "dup-gram membership = equi-join on the md5 gram hash"),
@@ -256,7 +267,8 @@ def main():
                  "stratified_mix", "domain_quota", "token_budget_pack",
                  "decontaminate", "pii_redact", "repetition_stats",
                  "semantic_dedup", "importance_topk", "lm_perplexity",
-                 "dup_spans", "kmeans_clusters", "bm25_topk"]:
+                 "kmv_distinct", "dup_spans", "kmeans_clusters",
+                 "bm25_topk"]:
         df = qs[name](spark, SF)
         plan = plan_of(df)
         out.append(f"\n## {name}\n")
