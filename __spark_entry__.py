@@ -1291,6 +1291,53 @@ def _sql_bm25_topk() -> str:
     return duck_bm25_sql(k=20, n_query_terms=3)
 
 
+def q_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward-inclusive AS-OF join (the point-in-time primitive Spark
+    lacks natively): each purchase event matched to the same user's
+    latest prior non-purchase touchpoint.  Union + last-ignorenulls
+    over a window PARTITIONED by user — ONE shuffle, no per-left
+    candidate sets; right-side (key, ts) ties pre-collapse to the
+    max-id row so the match is total-order deterministic.  The oracle
+    is DuckDB's NATIVE ASOF LEFT JOIN — a genuinely independent
+    implementation of the semantics."""
+    from geojson_vt_rs_spark.operators.asof import purchase_attribution
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return purchase_attribution(ev)
+
+
+def _sql_asof_attribution() -> str:
+    from geojson_vt_rs_spark.operators.asof import (
+        duck_purchase_attribution_sql,
+    )
+
+    return duck_purchase_attribution_sql()
+
+
+def q_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group discrete quantiles (p50/p90/p99 of order totals
+    per priority) by DEFINITION — value at 0-based rank floor(q*(n-1))
+    under a deterministic total order — so the rollup is byte-identical
+    cross-engine (approx_percentile/quantile_disc tie semantics are
+    not).  One shuffle; rank + size share one partitioned sort."""
+    from geojson_vt_rs_spark.operators.quantiles import group_quantiles
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return group_quantiles(
+        orders, "o_orderpriority", "o_totalprice", "o_orderkey"
+    )
+
+
+def _sql_group_quantiles() -> str:
+    from geojson_vt_rs_spark.operators.quantiles import (
+        duck_group_quantiles_sql,
+    )
+
+    return duck_group_quantiles_sql(
+        "o_orderpriority", "o_totalprice", "o_orderkey"
+    )
+
+
 def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV distinct-count sketch (Beyer et al. SIGMOD'07): distinct
     custkeys per order priority from the 256 minimum md5 hashes — the
@@ -1565,6 +1612,8 @@ def _raw_queries() -> dict:
         "importance_topk": q_importance_topk,
         "lm_perplexity": q_lm_perplexity,
         "kmv_distinct": q_kmv_distinct,
+        "asof_attribution": q_asof_attribution,
+        "group_quantiles": q_group_quantiles,
         "dup_spans": q_dup_spans,
         "phash_near_dups": q_phash_near_dups,
         "frame_sample": q_frame_sample,
@@ -1629,6 +1678,8 @@ def oracle_sql() -> dict[str, str]:
         "importance_topk": _sql_importance_topk(),
         "lm_perplexity": _sql_lm_perplexity(),
         "kmv_distinct": _sql_kmv_distinct(),
+        "asof_attribution": _sql_asof_attribution(),
+        "group_quantiles": _sql_group_quantiles(),
         "dup_spans": _sql_dup_spans(),
         "phash_near_dups": _sql_phash_near_dups(),
         "frame_sample": _sql_frame_sample(),

@@ -353,8 +353,8 @@ def main():
                  "frame_sample", "winnow_pairs",
                  # round-5 curation additions
                  "semantic_dedup", "importance_topk", "lm_perplexity",
-                 "kmv_distinct", "dup_spans", "kmeans_clusters",
-                 "bm25_topk"):
+                 "kmv_distinct", "asof_attribution", "group_quantiles",
+                 "dup_spans", "kmeans_clusters", "bm25_topk"):
         t0 = time.time()
         em.queries()[name](spark, SF_DIR).count()
         extra[name] = round(time.time() - t0, 3)

@@ -24,7 +24,13 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
-N = int(os.environ.get("SPARK_GRAFT_LARGE_N", "1000000"))
+NS = [
+    int(x)
+    for x in os.environ.get(
+        "SPARK_GRAFT_LARGE_NS",
+        os.environ.get("SPARK_GRAFT_LARGE_N", "1000000,4000000"),
+    ).split(",")
+]
 CPU_LEVELS = (8, 32)
 
 
@@ -38,7 +44,7 @@ def _steal(v0, v1):
     return (d[7] / sum(d)) if sum(d) else 0.0
 
 
-def run_level(cpus: int) -> dict:
+def run_level(cpus: int, N: int) -> dict:
     """CheckpointedPyramid is the scale path (parquet tiles/leaves, no
     driver tile dict); get_tile cold = drill-down Spark jobs + store
     append, warm = partition-pruned parquet point read."""
@@ -93,19 +99,31 @@ def run_level(cpus: int) -> dict:
 
 
 def main():
-    levels = [run_level(c) for c in CPU_LEVELS]
-    a, b = levels[0], levels[-1]
-    ratio = b["cpus"] / a["cpus"]
-    payload = dict(
-        levels=levels,
-        efficiency_build=round(
-            b["build_points_per_sec"] / (ratio * a["build_points_per_sec"]), 3
-        ),
-        consistent_tiles=len({lv["tiles"] for lv in levels}) == 1,
-        consistent_target=len(
-            {lv["target_tile_features"] for lv in levels}
-        ) == 1,
-    )
+    """One run block per input scale (same-job-two-cluster-sizes rule,
+    evidenced at TWO data scales so per-core throughput vs N is
+    visible); the legacy top-level keys mirror the FIRST (1M) block so
+    older readers keep working."""
+    runs = []
+    for n in NS:
+        levels = [run_level(c, n) for c in CPU_LEVELS]
+        a, b = levels[0], levels[-1]
+        ratio = b["cpus"] / a["cpus"]
+        runs.append(
+            dict(
+                n_points=n,
+                levels=levels,
+                efficiency_build=round(
+                    b["build_points_per_sec"]
+                    / (ratio * a["build_points_per_sec"]),
+                    3,
+                ),
+                consistent_tiles=len({lv["tiles"] for lv in levels}) == 1,
+                consistent_target=len(
+                    {lv["target_tile_features"] for lv in levels}
+                ) == 1,
+            )
+        )
+    payload = dict(runs[0], runs=runs)
     print(json.dumps(payload))
     with open("/root/repo/BENCH_LARGE.json", "w") as fh:
         json.dump(payload, fh, indent=1)

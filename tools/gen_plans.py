@@ -181,6 +181,26 @@ AUDITS = {
         ("!BroadcastNestedLoopJoin", "no all-pairs theta join"),
         ("!Window", "no WindowExec"),
     ],
+    "asof_attribution": [
+        ("windowspecdefinition\\(user_id",
+         "the as-of scan window is PARTITIONED by the join key — one "
+         "shuffle, spill-able per-key sort, never a global sort"),
+        ("!rangepartitioning", "no global range-sort"),
+        ("!BatchEvalPython|ArrowEvalPython|PythonUDF|MapInPandas",
+         "union + last-ignorenulls window are pure JVM"),
+        ("!BroadcastNestedLoopJoin|CartesianProduct",
+         "no per-left candidate join at all (union-scan formulation)"),
+        ("Union", "tagged two-side union feeding the window"),
+    ],
+    "group_quantiles": [
+        ("windowspecdefinition\\(o_orderpriority",
+         "rank + group-size windows PARTITIONED by the group key"),
+        ("!rangepartitioning", "no global range-sort"),
+        ("!BatchEvalPython|ArrowEvalPython|PythonUDF|MapInPandas",
+         "rank-by-definition + CASE-max pivot are pure JVM"),
+        ("HashAggregate", "partial-agg pivot"),
+        ("!ReadSchema.*comment", "only the three needed columns scan"),
+    ],
     "kmv_distinct": [
         ("windowspecdefinition\\(g",
          "rank windows PARTITIONED by (group[, lane]) — the salt-lane "
@@ -267,8 +287,8 @@ def main():
                  "stratified_mix", "domain_quota", "token_budget_pack",
                  "decontaminate", "pii_redact", "repetition_stats",
                  "semantic_dedup", "importance_topk", "lm_perplexity",
-                 "kmv_distinct", "dup_spans", "kmeans_clusters",
-                 "bm25_topk"]:
+                 "kmv_distinct", "asof_attribution", "group_quantiles",
+                 "dup_spans", "kmeans_clusters", "bm25_topk"]:
         df = qs[name](spark, SF)
         plan = plan_of(df)
         out.append(f"\n## {name}\n")
