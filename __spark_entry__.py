@@ -1378,6 +1378,48 @@ def _sql_lm_perplexity() -> str:
     return duck_lm_perplexity_sql(k=100)
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (8h quiet period) + session rollup
+    over the event stream.  ONE shuffle: lag + the running new-session
+    sum share a window spec, and the (key, session_seq) groupBy is
+    satisfied by the window's hash partitioning (ClusteredDistribution
+    subset) — no second exchange.  All aggregates are order-free
+    integer sums (epoch micros / fixed-point cents)."""
+    from geojson_vt_rs_spark.operators.sessions import sessionize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize(ev, "user_id", "ts", "event_id", "value")
+
+
+def _sql_sessionize() -> str:
+    from geojson_vt_rs_spark.operators.sessions import duck_sessionize_sql
+
+    return duck_sessionize_sql("events", "user_id", "ts", "event_id", "value")
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed interval join (the inequality-join shape Spark lowers
+    to a BroadcastNestedLoopJoin): campaign windows explode to the
+    week buckets they overlap, points equi-join on their single
+    bucket, exact range filter after — complete and duplicate-free by
+    construction.  The oracle is DuckDB's NATIVE range join on the
+    bare inequality predicate."""
+    from geojson_vt_rs_spark.operators.rangejoin import (
+        campaign_order_stats,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return campaign_order_stats(orders)
+
+
+def _sql_range_join() -> str:
+    from geojson_vt_rs_spark.operators.rangejoin import (
+        duck_campaign_order_stats_sql,
+    )
+
+    return duck_campaign_order_stats_sql()
+
+
 def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative k-means (Lloyd's, 8 clusters x 3 rounds) for topic
     balancing: fixed-point BIGINT arithmetic end to end, so the
@@ -1608,6 +1650,8 @@ def _raw_queries() -> dict:
         "ann_pq_topk": q_ann_pq_topk,
         "semantic_dedup": q_semantic_dedup,
         "kmeans_clusters": q_kmeans_clusters,
+        "sessionize": q_sessionize,
+        "range_join": q_range_join,
         "bm25_topk": q_bm25_topk,
         "importance_topk": q_importance_topk,
         "lm_perplexity": q_lm_perplexity,
@@ -1674,6 +1718,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_pq_topk": _sql_ann_pq_topk(),
         "semantic_dedup": _sql_semantic_dedup(),
         "kmeans_clusters": _sql_kmeans_clusters(),
+        "sessionize": _sql_sessionize(),
+        "range_join": _sql_range_join(),
         "bm25_topk": _sql_bm25_topk(),
         "importance_topk": _sql_importance_topk(),
         "lm_perplexity": _sql_lm_perplexity(),

@@ -248,6 +248,25 @@ AUDITS = {
         ("!CartesianProduct|BroadcastNestedLoopJoin",
          "assignment joins nothing — centroids are inlined literals"),
     ],
+    "sessionize": [
+        ("windowspecdefinition\\(user_id",
+         "lag + running new-session sum share one window spec "
+         "PARTITIONED by the key — one shuffle, spill-able sort"),
+        ("!rangepartitioning", "no global range-sort"),
+        ("!BatchEvalPython|ArrowEvalPython|PythonUDF|MapInPandas",
+         "flag/seq/rollup are pure JVM expressions"),
+        ("HashAggregate", "session rollup is a partial+final hash agg"),
+    ],
+    "range_join": [
+        ("BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin",
+         "bucket-blocked equi-join on the time bucket"),
+        ("!BroadcastNestedLoopJoin",
+         "NEVER the BNLJ Spark lowers a bare inequality join to"),
+        ("!CartesianProduct", "no cartesian"),
+        ("!BatchEvalPython|ArrowEvalPython|PythonUDF|MapInPandas",
+         "bucket explode + range filter are pure JVM"),
+        ("HashAggregate", "per-interval partial+final agg"),
+    ],
     "winnow_pairs": [
         ("BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin",
          "shared-fingerprint equi-join (complete blocking, no cross product)"),
@@ -288,7 +307,8 @@ def main():
                  "decontaminate", "pii_redact", "repetition_stats",
                  "semantic_dedup", "importance_topk", "lm_perplexity",
                  "kmv_distinct", "asof_attribution", "group_quantiles",
-                 "dup_spans", "kmeans_clusters", "bm25_topk"]:
+                 "dup_spans", "kmeans_clusters", "bm25_topk",
+                 "sessionize", "range_join"]:
         df = qs[name](spark, SF)
         plan = plan_of(df)
         out.append(f"\n## {name}\n")
