@@ -1420,6 +1420,27 @@ def _sql_range_join() -> str:
     return duck_campaign_order_stats_sql()
 
 
+def q_topk_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequent trigrams (the boilerplate/template detector):
+    word-count shape — map-side partial agg collapses the exploded
+    gram stream before the shuffle; the cut is a
+    TakeOrderedAndProject under the total order (cnt DESC, gram ASC).
+    Shares the decontam tokenizer/gram exprs, so the oracle is
+    byte-identical by construction."""
+    from geojson_vt_rs_spark.operators.ngram_stats import topk_ngrams
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return topk_ngrams(docs, n=3, k=100)
+
+
+def _sql_topk_ngrams() -> str:
+    from geojson_vt_rs_spark.operators.ngram_stats import (
+        duck_topk_ngrams_sql,
+    )
+
+    return duck_topk_ngrams_sql(n=3, k=100)
+
+
 def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative k-means (Lloyd's, 8 clusters x 3 rounds) for topic
     balancing: fixed-point BIGINT arithmetic end to end, so the
@@ -1652,6 +1673,7 @@ def _raw_queries() -> dict:
         "kmeans_clusters": q_kmeans_clusters,
         "sessionize": q_sessionize,
         "range_join": q_range_join,
+        "topk_ngrams": q_topk_ngrams,
         "bm25_topk": q_bm25_topk,
         "importance_topk": q_importance_topk,
         "lm_perplexity": q_lm_perplexity,
@@ -1720,6 +1742,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_clusters": _sql_kmeans_clusters(),
         "sessionize": _sql_sessionize(),
         "range_join": _sql_range_join(),
+        "topk_ngrams": _sql_topk_ngrams(),
         "bm25_topk": _sql_bm25_topk(),
         "importance_topk": _sql_importance_topk(),
         "lm_perplexity": _sql_lm_perplexity(),

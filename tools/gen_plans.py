@@ -267,6 +267,19 @@ AUDITS = {
          "bucket explode + range filter are pure JVM"),
         ("HashAggregate", "per-interval partial+final agg"),
     ],
+    "topk_ngrams": [
+        ("TakeOrderedAndProject",
+         "top-k cut is per-partition local top-k, no global sort"),
+        ("!rangepartitioning", "no global range-sort"),
+        ("!Window", "no WindowExec"),
+        ("!BatchEvalPython|ArrowEvalPython|PythonUDF|MapInPandas",
+         "tokenize/gram/count are pure JVM expressions"),
+        ("HashAggregate", "map-side partial agg collapses the gram "
+         "stream before the shuffle"),
+        ("!Condition : .*transform",
+         "no Catalyst-inferred scan-side size()>0 filter re-running "
+         "the tokenizer (explode_outer + null filter)"),
+    ],
     "winnow_pairs": [
         ("BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin",
          "shared-fingerprint equi-join (complete blocking, no cross product)"),
@@ -308,7 +321,7 @@ def main():
                  "semantic_dedup", "importance_topk", "lm_perplexity",
                  "kmv_distinct", "asof_attribution", "group_quantiles",
                  "dup_spans", "kmeans_clusters", "bm25_topk",
-                 "sessionize", "range_join"]:
+                 "sessionize", "range_join", "topk_ngrams"]:
         df = qs[name](spark, SF)
         plan = plan_of(df)
         out.append(f"\n## {name}\n")
