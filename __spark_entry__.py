@@ -1441,6 +1441,42 @@ def _sql_topk_ngrams() -> str:
     return duck_topk_ngrams_sql(n=3, k=100)
 
 
+def q_chunk_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global concat-and-chunk packing (GPT-pretraining prep): the
+    global token offset comes from the two-phase cumsum — ordered id
+    buckets, tiny per-bucket sums prefix-scanned on the driver,
+    within-bucket PARTITIONED windows — never the unpartitioned
+    global window the DuckDB oracle uses (an independent formulation
+    of the same BIGINT arithmetic)."""
+    from geojson_vt_rs_spark.operators.chunking import chunk_pack
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return chunk_pack(docs, chunk_len=512, bucket_width=64)
+
+
+def _sql_chunk_pack() -> str:
+    from geojson_vt_rs_spark.operators.chunking import duck_chunk_pack_sql
+
+    return duck_chunk_pack_sql(chunk_len=512)
+
+
+def q_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing-24h activity (rate-limit / abuse-signal
+    features): RANGE-framed window partitioned by user over exact
+    integer microseconds — tie-stable by construction (same-us peers
+    share a frame), one shuffle, fixed-point integer sums."""
+    from geojson_vt_rs_spark.operators.rolling import rolling_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return rolling_stats(ev, "user_id", "ts", "event_id", "value")
+
+
+def _sql_rolling_stats() -> str:
+    from geojson_vt_rs_spark.operators.rolling import duck_rolling_sql
+
+    return duck_rolling_sql("events", "user_id", "ts", "event_id", "value")
+
+
 def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative k-means (Lloyd's, 8 clusters x 3 rounds) for topic
     balancing: fixed-point BIGINT arithmetic end to end, so the
@@ -1674,6 +1710,8 @@ def _raw_queries() -> dict:
         "sessionize": q_sessionize,
         "range_join": q_range_join,
         "topk_ngrams": q_topk_ngrams,
+        "chunk_pack": q_chunk_pack,
+        "rolling_stats": q_rolling_stats,
         "bm25_topk": q_bm25_topk,
         "importance_topk": q_importance_topk,
         "lm_perplexity": q_lm_perplexity,
@@ -1743,6 +1781,8 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": _sql_sessionize(),
         "range_join": _sql_range_join(),
         "topk_ngrams": _sql_topk_ngrams(),
+        "chunk_pack": _sql_chunk_pack(),
+        "rolling_stats": _sql_rolling_stats(),
         "bm25_topk": _sql_bm25_topk(),
         "importance_topk": _sql_importance_topk(),
         "lm_perplexity": _sql_lm_perplexity(),

@@ -355,7 +355,8 @@ def main():
                  "semantic_dedup", "importance_topk", "lm_perplexity",
                  "kmv_distinct", "asof_attribution", "group_quantiles",
                  "dup_spans", "kmeans_clusters", "bm25_topk",
-                 "sessionize", "range_join", "topk_ngrams"):
+                 "sessionize", "range_join", "topk_ngrams",
+                 "chunk_pack", "rolling_stats"):
         t0 = time.time()
         em.queries()[name](spark, SF_DIR).count()
         extra[name] = round(time.time() - t0, 3)

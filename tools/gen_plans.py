@@ -280,6 +280,25 @@ AUDITS = {
          "no Catalyst-inferred scan-side size()>0 filter re-running "
          "the tokenizer (explode_outer + null filter)"),
     ],
+    "chunk_pack": [
+        ("windowspecdefinition\\(bucket",
+         "running token offsets are windows PARTITIONED by the id "
+         "bucket — never an unpartitioned global cumsum"),
+        ("!windowspecdefinition\\(\\s*(?:doc_id)?\\s*ASC",
+         "no unpartitioned window (the naive global formulation)"),
+        ("!rangepartitioning", "no global range-sort"),
+        ("BroadcastHashJoin", "n_buckets offset dimension broadcast"),
+        ("!BatchEvalPython|ArrowEvalPython|PythonUDF|MapInPandas",
+         "tokenize/offsets/fan-out are pure JVM"),
+        ("HashAggregate", "per-chunk partial+final rollup"),
+    ],
+    "rolling_stats": [
+        ("windowspecdefinition\\(user_id",
+         "RANGE frame PARTITIONED by the key over integer micros"),
+        ("!rangepartitioning", "no global range-sort"),
+        ("!BatchEvalPython|ArrowEvalPython|PythonUDF|MapInPandas",
+         "frame aggregates are pure JVM"),
+    ],
     "winnow_pairs": [
         ("BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin",
          "shared-fingerprint equi-join (complete blocking, no cross product)"),
@@ -321,7 +340,8 @@ def main():
                  "semantic_dedup", "importance_topk", "lm_perplexity",
                  "kmv_distinct", "asof_attribution", "group_quantiles",
                  "dup_spans", "kmeans_clusters", "bm25_topk",
-                 "sessionize", "range_join", "topk_ngrams"]:
+                 "sessionize", "range_join", "topk_ngrams",
+                 "chunk_pack", "rolling_stats"]:
         df = qs[name](spark, SF)
         plan = plan_of(df)
         out.append(f"\n## {name}\n")
