@@ -1477,6 +1477,47 @@ def _sql_rolling_stats() -> str:
     return duck_rolling_sql("events", "user_id", "ts", "event_id", "value")
 
 
+def q_zorder_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) locality layout: interleave z10 quad-cell bits
+    so spatially adjacent cells take numerically adjacent keys, then
+    roll up 4096-key blocks (n_points + key range) — the lakehouse
+    Z-ORDER clustering stat that predicts bbox-scan row-group pruning.
+    Pure 64-bit magic-number spreads, whole-stage codegen."""
+    from geojson_vt_rs_spark.functions.zorder import morton_key
+
+    pts = _orders_points(spark, sf_dir)
+    mx = mercator_x(F.col("lon"))
+    my = mercator_y(F.col("lat"))
+    cx, cy = cell_xy(mx, my, 10)
+    return (
+        pts.select(morton_key(cx, cy, 10).alias("morton"))
+        .withColumn("block", F.expr("morton DIV 4096"))
+        .groupBy("block")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.min("morton").alias("lo_key"),
+            F.max("morton").alias("hi_key"),
+        )
+    )
+
+
+def _sql_zorder_blocks() -> str:
+    from geojson_vt_rs_spark.functions.zorder import sql_morton
+
+    mx = sql_mercator_x("lon")
+    my = sql_mercator_y("lat")
+    cx, cy = sql_cell_xy(mx, my, 10)
+    return (
+        f"WITH p AS ({_SQL_POINTS}), "
+        f"c AS (SELECT {cx} AS cx, {cy} AS cy FROM p), "
+        f"m AS (SELECT {sql_morton('cx', 'cy')} AS morton FROM c) "
+        "SELECT morton // 4096 AS block, "
+        "CAST(count(*) AS BIGINT) AS n_points, "
+        "min(morton) AS lo_key, max(morton) AS hi_key "
+        "FROM m GROUP BY block"
+    )
+
+
 def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative k-means (Lloyd's, 8 clusters x 3 rounds) for topic
     balancing: fixed-point BIGINT arithmetic end to end, so the
@@ -1712,6 +1753,7 @@ def _raw_queries() -> dict:
         "topk_ngrams": q_topk_ngrams,
         "chunk_pack": q_chunk_pack,
         "rolling_stats": q_rolling_stats,
+        "zorder_blocks": q_zorder_blocks,
         "bm25_topk": q_bm25_topk,
         "importance_topk": q_importance_topk,
         "lm_perplexity": q_lm_perplexity,
@@ -1783,6 +1825,7 @@ def oracle_sql() -> dict[str, str]:
         "topk_ngrams": _sql_topk_ngrams(),
         "chunk_pack": _sql_chunk_pack(),
         "rolling_stats": _sql_rolling_stats(),
+        "zorder_blocks": _sql_zorder_blocks(),
         "bm25_topk": _sql_bm25_topk(),
         "importance_topk": _sql_importance_topk(),
         "lm_perplexity": _sql_lm_perplexity(),

@@ -299,6 +299,15 @@ AUDITS = {
         ("!BatchEvalPython|ArrowEvalPython|PythonUDF|MapInPandas",
          "frame aggregates are pure JVM"),
     ],
+    "zorder_blocks": [
+        ("!BatchEvalPython|ArrowEvalPython|PythonUDF|MapInPandas",
+         "morton spreads are pure JVM integer expressions (codegen)"),
+        ("HashAggregate", "per-block partial+final agg"),
+        ("!Window", "no WindowExec"),
+        ("!rangepartitioning", "no global range-sort"),
+        ("ReadSchema: struct<o_orderkey:bigint>",
+         "column pruning to the single key column"),
+    ],
     "winnow_pairs": [
         ("BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin",
          "shared-fingerprint equi-join (complete blocking, no cross product)"),
@@ -341,7 +350,7 @@ def main():
                  "kmv_distinct", "asof_attribution", "group_quantiles",
                  "dup_spans", "kmeans_clusters", "bm25_topk",
                  "sessionize", "range_join", "topk_ngrams",
-                 "chunk_pack", "rolling_stats"]:
+                 "chunk_pack", "rolling_stats", "zorder_blocks"]:
         df = qs[name](spark, SF)
         plan = plan_of(df)
         out.append(f"\n## {name}\n")
