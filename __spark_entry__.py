@@ -993,6 +993,94 @@ def q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_N_AUDIO = 240
+
+
+def q_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal AUDIO decode path: deterministic synthetic clip table
+    (wav/wav/rawa rotation, real pure-numpy RIFF-PCM16 codec) ->
+    decode -> per-format signal stats via mapInPandas.  Zero crossings
+    and per-clip mean energy (sum(s^2) div n) are exact integers, so
+    cross-row sums are order-free; the oracle recomputes every clip
+    from the raw generator — wav clips THROUGH the encode->decode
+    roundtrip (an independent check of the container codec)."""
+    import pandas as pd
+
+    from geojson_vt_rs_spark.sources.audio import decode_audio, generate_audio
+
+    clips = generate_audio(spark, _N_AUDIO, 8)
+
+    def stats(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                s = decode_audio(r.bytes, r.fmt, int(r.n_samples)).astype(
+                    np.int64
+                )
+                nonneg = s >= 0
+                rows.append(
+                    dict(
+                        fmt=r.fmt,
+                        n=1,
+                        ns=len(s),
+                        zc=int(np.count_nonzero(nonneg[1:] != nonneg[:-1])),
+                        energy=int(np.sum(s * s) // len(s)),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["fmt", "n", "ns", "zc", "energy"])
+
+    d = clips.mapInPandas(
+        stats, schema="fmt string, n long, ns long, zc long, energy long"
+    )
+    return d.groupBy("fmt").agg(
+        F.sum("n").alias("n_clips"),
+        F.sum("ns").alias("total_samples"),
+        F.sum("zc").alias("total_zc"),
+        (F.sum("energy") / F.sum("n")).alias("avg_energy"),
+    )
+
+
+def _sql_audio_stats() -> str:
+    # clip table is a pure function of the row index: recompute
+    # (fmt, n_samples, zero crossings, mean energy) per clip and inline
+    # as VALUES; wav clips go THROUGH encode_wav->decode_wav (PCM is
+    # lossless so values equal the raw generator's — which is exactly
+    # what makes this an independent roundtrip check), rawa direct.
+    import numpy as np
+
+    from geojson_vt_rs_spark.sources.audio import (
+        clip_spec,
+        decode_wav,
+        encode_wav,
+        make_samples,
+    )
+
+    vals = []
+    for i in range(_N_AUDIO):
+        fmt, ns = clip_spec(i)
+        s = make_samples(i, ns)
+        if fmt == "wav":
+            _, s = decode_wav(encode_wav(s))
+        s = s.astype(np.int64)
+        nonneg = s >= 0
+        zc = int(np.count_nonzero(nonneg[1:] != nonneg[:-1]))
+        energy = int(np.sum(s * s) // len(s))
+        vals.append(
+            f"('{fmt}', CAST({ns} AS BIGINT), CAST({zc} AS BIGINT), "
+            f"CAST({energy} AS BIGINT))"
+        )
+    return (
+        f"WITH a(fmt, ns, zc, energy) AS (VALUES {', '.join(vals)}) "
+        "SELECT fmt, CAST(count(*) AS BIGINT) AS n_clips, "
+        "CAST(sum(ns) AS BIGINT) AS total_samples, "
+        "CAST(sum(zc) AS BIGINT) AS total_zc, "
+        "CAST(sum(energy) AS BIGINT) / count(*) AS avg_energy "
+        "FROM a GROUP BY 1"
+    )
+
+
 def _sql_image_stats() -> str:
     # the image table is a pure function of the row index: recompute
     # (fmt, lum_micro, px) per image from the raw pixel generator and
@@ -1754,6 +1842,7 @@ def _raw_queries() -> dict:
         "chunk_pack": q_chunk_pack,
         "rolling_stats": q_rolling_stats,
         "zorder_blocks": q_zorder_blocks,
+        "audio_stats": q_audio_stats,
         "bm25_topk": q_bm25_topk,
         "importance_topk": q_importance_topk,
         "lm_perplexity": q_lm_perplexity,
@@ -1826,6 +1915,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_pack": _sql_chunk_pack(),
         "rolling_stats": _sql_rolling_stats(),
         "zorder_blocks": _sql_zorder_blocks(),
+        "audio_stats": _sql_audio_stats(),
         "bm25_topk": _sql_bm25_topk(),
         "importance_topk": _sql_importance_topk(),
         "lm_perplexity": _sql_lm_perplexity(),

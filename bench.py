@@ -356,7 +356,8 @@ def main():
                  "kmv_distinct", "asof_attribution", "group_quantiles",
                  "dup_spans", "kmeans_clusters", "bm25_topk",
                  "sessionize", "range_join", "topk_ngrams",
-                 "chunk_pack", "rolling_stats", "zorder_blocks"):
+                 "chunk_pack", "rolling_stats", "zorder_blocks",
+                 "audio_stats"):
         t0 = time.time()
         em.queries()[name](spark, SF_DIR).count()
         extra[name] = round(time.time() - t0, 3)

@@ -308,6 +308,15 @@ AUDITS = {
         ("ReadSchema: struct<o_orderkey:bigint>",
          "column pruning to the single key column"),
     ],
+    "audio_stats": [
+        ("MapInPandas",
+         "decode + signal stats are ONE Arrow-batched kernel"),
+        ("!BatchEvalPython",
+         "no row-at-a-time Python UDF — Arrow batches only"),
+        ("HashAggregate", "per-format partial+final agg of exact ints"),
+        ("!Window", "no WindowExec"),
+        ("!rangepartitioning", "no global range-sort"),
+    ],
     "winnow_pairs": [
         ("BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin",
          "shared-fingerprint equi-join (complete blocking, no cross product)"),
@@ -350,7 +359,8 @@ def main():
                  "kmv_distinct", "asof_attribution", "group_quantiles",
                  "dup_spans", "kmeans_clusters", "bm25_topk",
                  "sessionize", "range_join", "topk_ngrams",
-                 "chunk_pack", "rolling_stats", "zorder_blocks"]:
+                 "chunk_pack", "rolling_stats", "zorder_blocks",
+                 "audio_stats"]:
         df = qs[name](spark, SF)
         plan = plan_of(df)
         out.append(f"\n## {name}\n")
