@@ -1606,6 +1606,57 @@ def _sql_zorder_blocks() -> str:
     )
 
 
+def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic OLAP join shape (TPC-H Q3-like): customer x orders x
+    lineitem, top-10 open orders by revenue.  The small dimension
+    (filtered customers) BROADCASTS, the orders-lineitem fact join
+    shuffles on the key, revenue folds in fixed-point micros
+    (cents x (100 - disc_hundredths) — pure BIGINT, order-free), and
+    the cut is a TakeOrderedAndProject.  Demonstrates that standard
+    star-schema SQL rides the same oracle contract as the custom ops."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    c = cust.filter(F.col("c_custkey") % 10 < 3).select("c_custkey")
+    o = orders.filter(F.col("o_orderstatus") == "O").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    rev = (
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")
+        * (
+            F.lit(100).cast("bigint")
+            - F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("bigint")
+        )
+    )
+    l = li.select("l_orderkey", rev.alias("rev_micro"))
+    joined = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(F.sum("rev_micro").alias("revenue_micro"))
+    )
+    return joined.orderBy(
+        F.desc("revenue_micro"), F.asc("o_orderkey")
+    ).limit(10)
+
+
+SQL_TOP_REVENUE = (
+    "WITH c AS (SELECT c_custkey FROM customer WHERE c_custkey % 10 < 3), "
+    "o AS (SELECT o_orderkey, o_custkey, o_orderpriority FROM orders "
+    "WHERE o_orderstatus = 'O'), "
+    "l AS (SELECT l_orderkey, "
+    "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * "
+    "(100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS rev_micro "
+    "FROM lineitem) "
+    "SELECT o.o_orderkey, o.o_orderpriority, "
+    "CAST(sum(l.rev_micro) AS BIGINT) AS revenue_micro "
+    "FROM o JOIN c ON o.o_custkey = c.c_custkey "
+    "JOIN l ON o.o_orderkey = l.l_orderkey "
+    "GROUP BY o.o_orderkey, o.o_orderpriority "
+    "ORDER BY revenue_micro DESC, o.o_orderkey ASC LIMIT 10"
+)
+
+
 def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative k-means (Lloyd's, 8 clusters x 3 rounds) for topic
     balancing: fixed-point BIGINT arithmetic end to end, so the
@@ -1843,6 +1894,7 @@ def _raw_queries() -> dict:
         "rolling_stats": q_rolling_stats,
         "zorder_blocks": q_zorder_blocks,
         "audio_stats": q_audio_stats,
+        "top_revenue_orders": q_top_revenue_orders,
         "bm25_topk": q_bm25_topk,
         "importance_topk": q_importance_topk,
         "lm_perplexity": q_lm_perplexity,
@@ -1916,6 +1968,7 @@ def oracle_sql() -> dict[str, str]:
         "rolling_stats": _sql_rolling_stats(),
         "zorder_blocks": _sql_zorder_blocks(),
         "audio_stats": _sql_audio_stats(),
+        "top_revenue_orders": SQL_TOP_REVENUE,
         "bm25_topk": _sql_bm25_topk(),
         "importance_topk": _sql_importance_topk(),
         "lm_perplexity": _sql_lm_perplexity(),

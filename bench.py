@@ -357,7 +357,7 @@ def main():
                  "dup_spans", "kmeans_clusters", "bm25_topk",
                  "sessionize", "range_join", "topk_ngrams",
                  "chunk_pack", "rolling_stats", "zorder_blocks",
-                 "audio_stats"):
+                 "audio_stats", "top_revenue_orders"):
         t0 = time.time()
         em.queries()[name](spark, SF_DIR).count()
         extra[name] = round(time.time() - t0, 3)

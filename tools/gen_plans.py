@@ -317,6 +317,21 @@ AUDITS = {
         ("!Window", "no WindowExec"),
         ("!rangepartitioning", "no global range-sort"),
     ],
+    "top_revenue_orders": [
+        ("BroadcastHashJoin", "filtered customer dimension broadcasts"),
+        ("BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin",
+         "orders x lineitem fact join is a plain equi-join — Catalyst "
+         "broadcasts it at audit scale (lineitem is tiny), shuffles on "
+         "the key at scale; no hint pins the toy choice"),
+        ("!BroadcastNestedLoopJoin|CartesianProduct", "equi-joins only"),
+        ("TakeOrderedAndProject", "top-10 cut, no global sort"),
+        ("!Window", "no WindowExec"),
+        ("!BatchEvalPython|ArrowEvalPython|PythonUDF|MapInPandas",
+         "fixed-point revenue is a pure JVM expression"),
+        ("PushedFilters: \\[IsNotNull\\(o_orderstatus\\), "
+         "EqualTo\\(o_orderstatus,O\\)",
+         "status filter pushed to the parquet scan"),
+    ],
     "winnow_pairs": [
         ("BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin",
          "shared-fingerprint equi-join (complete blocking, no cross product)"),
@@ -360,7 +375,7 @@ def main():
                  "dup_spans", "kmeans_clusters", "bm25_topk",
                  "sessionize", "range_join", "topk_ngrams",
                  "chunk_pack", "rolling_stats", "zorder_blocks",
-                 "audio_stats"]:
+                 "audio_stats", "top_revenue_orders"]:
         df = qs[name](spark, SF)
         plan = plan_of(df)
         out.append(f"\n## {name}\n")
