@@ -76,3 +76,15 @@ def test_stream_sessionize_matches_batch(spark, tmp_path):
     assert _rollup_set(got) == batch
     # append mode: every session emitted exactly once across both runs
     assert len(got) == len(set(map(tuple, got)))
+
+    # late-data contract: an event older than the checkpointed watermark
+    # (persisted at the sentinel ts) arrives in a later run — it belongs
+    # to a long-closed session and must be DROPPED, not re-emitted or
+    # double-counted
+    spark.createDataFrame(
+        [_ev(950, 1, 3, 9.99)], EVENT_SCHEMA   # user 1, inside session 1
+    ).coalesce(1).write.mode("append").parquet(src)
+    stream_sessionize(spark, src, out, ckpt, gap_us=GAP)
+    got2 = spark.read.parquet(out).filter("user_id >= 0").collect()
+    assert _rollup_set(got2) == batch           # unchanged
+    assert len(got2) == len(got)                # nothing re-emitted
