@@ -42,6 +42,7 @@ from geojson_vt_rs_spark.plans.pyramid import (
     STEP_SCHEMA,
     TILED_COLS,
     _level_kernel,
+    decisions_df,
 )
 
 
@@ -405,9 +406,8 @@ class CheckpointedPyramid:
                 frontier.unpersist()
                 return self.summary(out_dir)
 
-            ddf = spark.createDataFrame(
-                [(z, x, y, a) for z, x, y, a, _ in decisions],
-                "z int, x int, y int, action string",
+            ddf = decisions_df(
+                spark, [(z, x, y, a) for z, x, y, a, _ in decisions]
             )
             fr = frontier.join(F.broadcast(ddf), ["z", "x", "y"])
             if turn_mode != "optimistic":

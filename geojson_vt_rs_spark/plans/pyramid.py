@@ -135,6 +135,32 @@ class SparkTile:
 
 EMPTY_TILE = SparkTile(0, 0, 0, [], 0, 0)
 
+# decisions tables above this row count fall back to createDataFrame
+# (bounded VALUES plan text; below it the LocalRelation needs no job)
+_VALUES_DDF_MAX = 4096
+
+
+def decisions_df(spark: SparkSession, decisions) -> DataFrame:
+    """(z, x, y, action) rows as a LocalRelation-backed DataFrame.
+
+    ``spark.createDataFrame(list)`` parallelizes into defaultParallelism
+    slices, so BROADCASTING the index-sized decisions table ran a 32-task
+    Python-roundtrip job per pyramid level (event-log: 0.3-1.3 s/level).
+    A literal VALUES scan is a LocalTableScan: the broadcast materializes
+    driver-side with NO job.  Falls back to createDataFrame for huge
+    decision tables (bounded plan text)."""
+    if len(decisions) <= _VALUES_DDF_MAX:
+        vals = ", ".join(
+            f"({int(z)},{int(x)},{int(y)},'{a}')" for z, x, y, a in decisions
+        )
+        return spark.sql(
+            "SELECT z, x, y, action FROM "
+            f"(VALUES {vals}) AS t(z, x, y, action)"
+        )
+    return spark.createDataFrame(
+        list(decisions), "z int, x int, y int, action string"
+    )
+
 
 def fuse_bound(options: Options, cz: int) -> int:
     """Max num_points for which a split tile's WHOLE subtree runs in one
@@ -335,6 +361,28 @@ class SparkGeoJSONVT:
             o.tile.buffer / o.tile.extent,
             o.tile.line_metrics,
         )
+        if int(npts) <= fuse_bound(o, 0):
+            # raw-gated fuse: the WHOLE build is one bounded task —
+            # convert+wrap chained straight into the subtree kernel in a
+            # single mapInPandas over ONE coalesced input partition (one
+            # Python runner invocation; the former grouped path paid a
+            # decisions broadcast job, a cache build, and a shuffle, and
+            # a plain frontier.coalesce(1) re-initialized the Python
+            # runner once per upstream local partition: 4 s of overhead
+            # for a 0.15 s kernel on us-states)
+            from geojson_vt_rs_spark.operators.pipeline import (
+                _convert_wrap_kernel,
+            )
+
+            kernel = _level_kernel(o, 0, 0, 0, force_subtree=True)
+            fuse_wave = features_df.coalesce(1).mapInPandas(
+                _fuse_wave_kernel(
+                    _convert_wrap_kernel(*cw_args), kernel, (0, 0, 0)
+                ),
+                schema=STEP_SCHEMA,
+            )
+            self._collect_fused_root(fuse_wave, 0, 0, 0)
+            return
         wrapped = convert_wrap_stage(features_df, *cw_args)
         frontier = wrapped.select(
             F.lit(0).alias("z"), F.lit(0).alias("x"), F.lit(0).alias("y"), "*"
@@ -372,6 +420,32 @@ class SparkGeoJSONVT:
             )
 
     # ------------------------------------------------------------------
+    def _collect_fused_root(self, fuse_wave: DataFrame, rz, rx, ry) -> None:
+        """Collect the single fused-subtree wave (raw-gated small build):
+        one Spark job, then the same tile/leaf registration the grouped
+        fuse path used."""
+        meta = fuse_wave.filter(
+            F.col("row_kind").isin(K_TILE, K_STATS, K_LEAF)
+        ).toPandas()
+        tile_pdf = meta[meta.row_kind.isin([K_TILE, K_STATS])]
+        for (z, x, y), grp in tile_pdf.groupby(["z", "x", "y"], sort=False):
+            stats_row = grp[grp.row_kind == K_STATS].iloc[0]
+            self._register(
+                int(z), int(x), int(y), None,
+                int(stats_row["tile_num_points"]),
+                int(stats_row["tile_num_simplified"]),
+                lazy=(grp, _fused_group_to_features),
+            )
+        leaf_pdf = meta[meta.row_kind == K_LEAF]
+        for (z, x, y), grp in leaf_pdf.groupby(["z", "x", "y"], sort=False):
+            self.leaf_features[to_id(int(z), int(x), int(y))] = grp[
+                TILED_COLS
+            ].reset_index(drop=True)
+        if to_id(rz, rx, ry) not in self.tiles:
+            # fused an empty/fully-dropped input: the root tile still
+            # exists (lib.rs:265-295)
+            self._register(rz, rx, ry, [], 0, 0)
+
     def _register(self, z: int, x: int, y: int, features, np_: int, ns: int,
                   lazy=None):
         tid = to_id(z, x, y)
@@ -438,9 +512,11 @@ class SparkGeoJSONVT:
 
         debug = os.environ.get("SPARK_GRAFT_DEBUG_LEVELS") == "1"
         first = True
+        # the raw gate's fuse case is handled in __init__ (one fused
+        # task); a raw-gated entry here is always the optimistic split
         first_mode = None
         if cz == 0 and raw_npts is not None:
-            first_mode = "fuse" if raw_npts <= fuse_max else "optimistic"
+            first_mode = "optimistic"
         pending_children: list = []  # expected child keys of split parents
         prev = None
         # next level's per-tile num_points, pre-assembled from the render
@@ -457,10 +533,7 @@ class SparkGeoJSONVT:
             # — see plans/checkpoint.py for the 4M OOM this avoids
             if turn_mode is not None:
                 np_pdf = None
-                if turn_mode == "fuse":
-                    decisions = [(rz, rx, ry, "fuse", int(raw_npts))]
-                else:
-                    decisions = [(rz, rx, ry, "split", None)]
+                decisions = [(rz, rx, ry, "split", None)]
                 first = False
             elif next_np is not None:
                 np_pdf = next_np
@@ -509,23 +582,26 @@ class SparkGeoJSONVT:
                     if ck not in observed:
                         self._register(ck[0], ck[1], ck[2], [], 0, 0)
 
-            ddf = spark.createDataFrame(
-                [(z, x, y, a) for z, x, y, a, _ in decisions],
-                "z int, x int, y int, action string",
+            ddf = decisions_df(
+                spark, [(z, x, y, a) for z, x, y, a, _ in decisions]
             )
             fr = frontier.join(F.broadcast(ddf), ["z", "x", "y"])
-            if turn_mode != "optimistic":
-                # optimistic turns feed fr to exactly one consumer (the
-                # wave) — same no-cache reasoning as the frontier above
+            has_fuse = any(a == "fuse" for _, _, _, a, _ in decisions)
+            has_leaf = any(a == "leaf" for _, _, _, a, _ in decisions)
+            has_nonfuse = any(a != "fuse" for _, _, _, a, _ in decisions)
+            if (
+                turn_mode != "optimistic"
+                and int(has_fuse) + int(has_leaf) + int(has_nonfuse) >= 2
+            ):
+                # cache only when >= 2 of the level's collections read fr
+                # (optimistic turns and single-action levels have exactly
+                # one consumer — caching there is a wasted extra job)
                 fr = fr.persist()
 
             # ONE fused per-row pass renders every non-fused live tile AND
             # clips split-tile children (the VtFeature is built once; one
             # Spark job instead of a render job + a split job per level)
             nonfuse = fr.filter(F.col("action") != "fuse")
-            has_fuse = any(a == "fuse" for _, _, _, a, _ in decisions)
-            has_leaf = any(a == "leaf" for _, _, _, a, _ in decisions)
-            has_nonfuse = any(a != "fuse" for _, _, _, a, _ in decisions)
             # localCheckpoint truncates the per-level lineage: without it
             # each level's logical plan embeds every previous level's and
             # analysis cost compounds (measured 4x wall blowup by z5 on a
@@ -698,10 +774,6 @@ class SparkGeoJSONVT:
                     flush=True,
                 )
             fr.unpersist()
-            if turn_mode == "fuse" and to_id(rz, rx, ry) not in self.tiles:
-                # fused an empty/fully-dropped input: the root tile still
-                # exists (lib.rs:265-295)
-                self._register(rz, rx, ry, [], 0, 0)
             if not split_parents:
                 if step2 is not None:
                     step2.unpersist()
@@ -770,6 +842,22 @@ class SparkGeoJSONVT:
 
     def get_internal_tiles(self):
         return self.tiles
+
+
+def _fuse_wave_kernel(cw_kernel, group_kernel, key):
+    """Raw feature batches -> convert+wrap -> the (key, pdf) subtree
+    group kernel, all inside ONE mapInPandas invocation (the raw-gated
+    fuse build).  The group kernel sorts its rows itself, so batch order
+    is irrelevant; the group key's (z, x, y) never appear as columns."""
+
+    def run(batches):
+        pdfs = [p for p in cw_kernel(batches) if len(p)]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        yield group_kernel(key, pdf)
+
+    return run
 
 
 def _render_group_to_features(grp: pd.DataFrame) -> list:
