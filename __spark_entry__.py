@@ -389,12 +389,27 @@ SQL_TOKEN_STATS = (
 
 
 # ------------------------------------------------- dedup/similarity batch
+def _spread_scan(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Scale-adaptive scan spread (guide §2/§6): the test tables are
+    single-row-group parquet files, so the scan gets ONE split and every
+    downstream Arrow kernel serializes onto one task.  Floor the
+    partition count at defaultParallelism ONLY when the scan is narrower
+    — at real scale the scan already has >= cores splits and this is a
+    no-op (no added shuffle)."""
+    p = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p)
+    return df
+
+
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates: char-5-gram shingles -> 8 md5
     minhashes -> 4 two-row bands -> bucket equi-join -> distinct pairs."""
     from geojson_vt_rs_spark.operators.text_dedup import minhash_band_pairs
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _spread_scan(
+        spark, spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
     return minhash_band_pairs(docs)
 
 
@@ -413,7 +428,9 @@ def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale-safe; the oracle is the exact all-pairs filter."""
     from geojson_vt_rs_spark.operators.text_dedup import simhash_near_pairs
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _spread_scan(
+        spark, spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
     return simhash_near_pairs(docs, hamming_max=3)
 
 
@@ -1267,7 +1284,9 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         (int(r["vec_id"]), [float(v) for v in r["embedding"]])
         for r in emb.filter("vec_id < 16").collect()
     )
-    qv = [float(v) for v in emb.filter("vec_id = 0").collect()[0]["embedding"]]
+    # the query vector is row 0 of the already-collected codebook rows
+    # (one Spark job instead of two; identical floats)
+    qv = list(next(v for i, v in rows if i == 0))
     return pq_topk(emb, qv, pq_codebooks(rows), k=10, rescore=40)
 
 
@@ -1284,7 +1303,8 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = sorted(
         (int(r["vec_id"]), [float(v) for v in r["embedding"]]) for r in rows
     )
-    qv = [float(v) for v in emb.filter("vec_id = 0").collect()[0]["embedding"]]
+    # query vector = centroid row 0 (one collect job instead of two)
+    qv = list(next(v for i, v in cents if i == 0))
     return ivf_topk(emb, qv, cents, k=10, n_probe=2)
 
 

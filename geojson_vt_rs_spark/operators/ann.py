@@ -290,6 +290,44 @@ def query_probes(query_vec: list, centroids: list, n_probe: int) -> list:
     return [cn[i][0] for i in order[:n_probe]]
 
 
+def _ivf_members_kernel(cn: list, probes: list, id_col: str, vec_col: str):
+    """Batch twin of with_ivf_cell + the probe filter: one numpy pass
+    per Arrow batch emitting ONLY rows whose nearest centroid is probed.
+    Byte-identical cell assignment to the expr formulation: the dot
+    accumulates dims 0..63 sequentially (vectorized across rows, scalar
+    order per element — the zip_with/aggregate left fold); the winner is
+    argmin over (-dot) taking the FIRST minimum == array_sort
+    struct(-dot, cid) ties to the smaller cid (cn is cid-ascending);
+    NaN dots sort AFTER every real value, reproduced via +inf."""
+    C = np.asarray([c for _, c in cn], dtype=np.float64)  # (ncent, dim)
+    keep_cid = np.asarray(
+        [cid in {int(p) for p in probes} for cid, _ in cn], dtype=bool
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            E = np.stack(
+                [
+                    np.asarray(v).astype(np.float64, copy=False)
+                    for v in pdf[vec_col].to_numpy()
+                ]
+            )
+            s = np.zeros((n, len(C)))
+            for t in range(C.shape[1]):
+                s += E[:, t, None] * C[None, :, t]
+            s = -s
+            if np.isnan(s).any():
+                s = np.where(np.isnan(s), np.inf, s)
+            keep = keep_cid[s.argmin(axis=1)]
+            if keep.any():
+                yield pdf.loc[keep, [id_col, vec_col]]
+
+    return kernel
+
+
 def ivf_topk(
     emb: DataFrame,
     query_vec: list,
@@ -298,14 +336,31 @@ def ivf_topk(
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    impl: str = "batch",
 ) -> DataFrame:
     """IVF-bucketed cosine top-k: probe the n_probe centroids nearest
     the query, exact-rescore only their members (the scale path beside
-    lsh_topk; recall measured in tests).  Fully oracle-checkable."""
+    lsh_topk; recall measured in tests).  Fully oracle-checkable.
+
+    ``impl="batch"`` (default) assigns cells + filters to the probed
+    members in one numpy Arrow pass (the inlined-centroid expr chain is
+    a ~30 KB plan dominated by analysis+codegen at bench scale);
+    ``impl="expr"`` keeps the pure-JVM original (the oracle shape).
+    Byte-equality asserted in tests/test_ann_salting.py."""
     probes = query_probes(query_vec, centroids, n_probe)
 
-    bucketed = with_ivf_cell(emb, centroids, vec_col=vec_col)
-    cand = bucketed.filter(F.col("ivf_cell").isin([int(p) for p in probes]))
+    if impl == "batch":
+        cn = sorted(_norm_centroids(centroids))  # cid-ascending tie rule
+        sel = emb.select(id_col, vec_col)
+        cand = sel.mapInPandas(
+            _ivf_members_kernel(cn, probes, id_col, vec_col),
+            schema=sel.schema,
+        )
+    else:
+        bucketed = with_ivf_cell(emb, centroids, vec_col=vec_col)
+        cand = bucketed.filter(
+            F.col("ivf_cell").isin([int(p) for p in probes])
+        )
 
     acc = 0.0
     for v in query_vec:
@@ -469,11 +524,14 @@ def cosine_near_dup_blocked(
     nrm = F.expr(
         "sqrt(aggregate(transform(emb, a -> a * a), 0D, (acc, v) -> acc + v))"
     )
+    # materialized once (lazy localCheckpoint): three consumers (band
+    # keys + both rescore sides) would otherwise re-run the bucket
+    # kernel and the norm fold per subtree (no CSE across aliases)
     d = bucketed.select(
         F.col(id_col),
         F.expr(f"transform({vec_col}, v -> cast(v as double))").alias("emb"),
         F.col("bucket"),
-    ).withColumn("nrm", nrm)
+    ).withColumn("nrm", nrm).localCheckpoint(eager=False)
 
     bands = F.array(
         *[
@@ -591,8 +649,14 @@ def hamming_near_pairs(
     any pair within the hamming ball agrees on >= 1 full band, so the
     union of per-band equi-joins is COMPLETE while the plan stays hash
     joins on (band, value) — never an all-pairs theta join.  Shared by
-    simhash text dedup and phash image dedup."""
-    s = df.select(id_col, hash_col)
+    simhash text dedup and phash image dedup.
+
+    The (id, hash) projection is materialized once (lazy localCheckpoint):
+    Catalyst does not CSE across self-join aliases, so the upstream
+    signature computation (a full tokenize+md5 pass for simhash, image
+    synthesis+phash for the image path) would otherwise run once PER
+    SIDE — measured ~0.6 s/side at sf0.1."""
+    s = df.select(id_col, hash_col).localCheckpoint(eager=False)
     bands = F.array(
         *[
             F.struct(
@@ -724,6 +788,88 @@ def pq_adc_table(query_vec: list, codebooks: list) -> list:
     return T
 
 
+def _pq_batch_kernel(codebooks: list, T: list, id_col: str, vec_col: str):
+    """Batch twin of with_pq_codes + the ADC sum: one numpy pass per
+    Arrow batch, byte-identical to the expr formulation —
+    * the squared-L2 fold accumulates t = 0..SUBDIM-1 SEQUENTIALLY
+      (vectorized across rows, scalar order per element: exactly the
+      zip_with/aggregate left fold; never np.sum, which pairs);
+    * argmin takes the FIRST minimum (== array_sort struct(d, j) ties to
+      the smaller j); NaN distances (NaN embedding values) sort AFTER
+      every real distance in Spark, reproduced via +inf substitution;
+    * the ADC total adds subspaces s = 0..NSUB-1 left-to-right (the
+      `+`-chain's association)."""
+    CW = np.asarray(codebooks, dtype=np.float64)  # (NSUB, NCODE, SUBDIM)
+    Tarr = np.asarray(T, dtype=np.float64)  # (NSUB, NCODE)
+
+    def kernel(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            E = np.stack(
+                [
+                    np.asarray(v).astype(np.float64, copy=False)
+                    for v in pdf[vec_col].to_numpy()
+                ]
+            )
+            Es = E.reshape(n, PQ_NSUB, PQ_SUBDIM)
+            acc = np.zeros((n, PQ_NSUB, PQ_NCODE))
+            for t in range(PQ_SUBDIM):
+                d = Es[:, :, t, None] - CW[None, :, :, t]
+                acc += d * d
+            if np.isnan(acc).any():
+                acc = np.where(np.isnan(acc), np.inf, acc)
+            codes = acc.argmin(axis=2)  # first min == smaller-j tie rule
+            adist = Tarr[0, codes[:, 0]].copy()
+            for s in range(1, PQ_NSUB):
+                adist += Tarr[s, codes[:, s]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    vec_col: pdf[vec_col].to_numpy(),
+                    "adist": adist,
+                }
+            )
+
+    return kernel
+
+
+def pq_adc_scored(
+    emb: DataFrame,
+    query_vec: list,
+    codebooks: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    impl: str = "batch",
+) -> DataFrame:
+    """(id, vec, adist): per-row PQ code assignment + ADC approximate
+    distance.  ``impl="batch"`` (default) is the numpy mapInPandas twin —
+    the inlined-literal expr chain is a ~80 KB plan whose analysis +
+    codegen dominated the query wherever the table fits a few Arrow
+    batches; ``impl="expr"`` keeps the pure-JVM original (the oracle
+    formulation).  Byte-equality asserted in tests/test_ann_salting.py."""
+    T = pq_adc_table(query_vec, codebooks)
+    if impl == "batch":
+        from pyspark.sql import types as _Ty
+
+        sel = emb.select(id_col, vec_col)
+        schema = _Ty.StructType(
+            [sel.schema[id_col], sel.schema[vec_col],
+             _Ty.StructField("adist", _Ty.DoubleType())]
+        )
+        return sel.mapInPandas(
+            _pq_batch_kernel(codebooks, T, id_col, vec_col), schema=schema
+        )
+    coded = with_pq_codes(emb, codebooks, vec_col=vec_col)
+    terms = []
+    for s in range(PQ_NSUB):
+        arr = "array(" + ", ".join(_dlit(v) for v in T[s]) + ")"
+        terms.append(f"element_at({arr}, cast(__pq{s} + 1 as int))")
+    # left-assoc: matches list_sum's fold order
+    return coded.withColumn("adist", F.expr(" + ".join(terms)))
+
+
 def pq_topk(
     emb: DataFrame,
     query_vec: list,
@@ -732,6 +878,7 @@ def pq_topk(
     rescore: int = 40,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    impl: str = "batch",
 ) -> DataFrame:
     """PQ/ADC top-k: approximate distance = left-to-right sum of the
     per-subspace table lookups; the `rescore` best candidates (ADC asc,
@@ -746,16 +893,11 @@ def pq_topk(
     directly after the limit is the barrier: aggregates never push below
     limits, the cut stays ``Limit(Sort(...))``, and the agg itself only
     ever sees the <=``rescore`` surviving rows."""
-    T = pq_adc_table(query_vec, codebooks)
-    coded = with_pq_codes(emb, codebooks, vec_col=vec_col)
-    terms = []
-    for s in range(PQ_NSUB):
-        arr = "array(" + ", ".join(_dlit(v) for v in T[s]) + ")"
-        terms.append(f"element_at({arr}, cast(__pq{s} + 1 as int))")
-    adist = " + ".join(terms)  # left-assoc: matches list_sum's fold order
+    scored0 = pq_adc_scored(
+        emb, query_vec, codebooks, id_col=id_col, vec_col=vec_col, impl=impl
+    )
     cut = (
-        coded.withColumn("adist", F.expr(adist))
-        .orderBy(F.col("adist").asc(), F.col(id_col).asc())
+        scored0.orderBy(F.col("adist").asc(), F.col(id_col).asc())
         .limit(rescore)
     )
     cand = (
@@ -850,12 +992,85 @@ def duck_pq_topk_sql(
 # farthest from the centroid" differs only in which member survives).
 
 
+def _sem_cells_kernel(cn: list, id_col: str, vec_col: str):
+    """Batch twin of the semantic-dedup projection: cell assignment
+    (identical rules to _ivf_members_kernel), double-cast embedding, and
+    the sequential-fold norm, one numpy pass per Arrow batch."""
+    C = np.asarray([c for _, c in cn], dtype=np.float64)
+    cids = np.asarray([cid for cid, _ in cn], dtype=np.int64)
+
+    def kernel(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            E = np.stack(
+                [
+                    np.asarray(v).astype(np.float64, copy=False)
+                    for v in pdf[vec_col].to_numpy()
+                ]
+            )
+            s = np.zeros((n, len(C)))
+            for t in range(C.shape[1]):
+                s += E[:, t, None] * C[None, :, t]
+            s = -s
+            if np.isnan(s).any():
+                s = np.where(np.isnan(s), np.inf, s)
+            cell = cids[s.argmin(axis=1)]
+            acc = np.zeros(n)
+            for t in range(E.shape[1]):
+                acc += E[:, t] * E[:, t]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "emb": list(E),
+                    "nrm": np.sqrt(acc),
+                    "ivf_cell": cell,
+                }
+            )
+
+    return kernel
+
+
+def _sem_pairs_kernel(id_col: str):
+    """Per-cell pairwise dot ratios: for every (a, b) pair with
+    id_a > id_b emit q = dot / (nrm_a * nrm_b).  The dot accumulates
+    dims sequentially (the zip_with left fold, vectorized across
+    pairs); round-6 + threshold stay JVM-side so the engine-pinned
+    HALF_UP rounding is never re-implemented in Python."""
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        cols = ["id_a", "ivf_cell", "q"]
+        if m < 2:
+            return pd.DataFrame(columns=cols)
+        E = np.stack(pdf["emb"].to_numpy())
+        ids = pdf[id_col].to_numpy()
+        nrm = pdf["nrm"].to_numpy()
+        acc = np.zeros((m, m))
+        for t in range(E.shape[1]):
+            acc += E[:, t, None] * E[None, :, t]
+        ia, ib = np.nonzero(ids[:, None] > ids[None, :])
+        q = acc[ia, ib] / (nrm[ia] * nrm[ib])
+        return pd.DataFrame(
+            {
+                "id_a": ids[ia],
+                "ivf_cell": np.full(len(ia), int(key[0]), dtype=np.int64),
+                "q": q,
+            },
+            columns=cols,
+        )
+
+    return run
+
+
 def semantic_dedup(
     emb: DataFrame,
     centroids: list,
     threshold: float = 0.3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    impl: str = "batch",
 ) -> DataFrame:
     """Dropped rows of a SemDeDup pass: (id, ivf_cell, n_dups, max_cos).
 
@@ -867,7 +1082,51 @@ def semantic_dedup(
     BroadcastNestedLoopJoin.  The exact rescore runs only on within-cell
     pairs, matching the paper's cost model.  Every float op is the same
     sequential left fold as the DuckDB twin (duck_semantic_dedup_sql).
+
+    ``impl="batch"`` (default): cell assignment + norms are one numpy
+    Arrow pass, and the within-cell pairwise dots run vectorized in a
+    per-cell applyInPandas kernel (the interpreted zip_with fold costs
+    ~10 us/pair — the dominant job at any cell size); round-6 + the
+    threshold filter + the aggregation stay JVM-side, so the rounding
+    convention is never re-implemented in Python.  ``impl="expr"``
+    keeps the pure-JVM equi-join original (the oracle shape).
+    Byte-equality asserted in tests/test_ann_salting.py.
     """
+    if impl == "batch":
+        from pyspark.sql import types as _Ty
+
+        cn = sorted(_norm_centroids(centroids))
+        sel = emb.select(id_col, vec_col)
+        cells_schema = _Ty.StructType(
+            [
+                sel.schema[id_col],
+                _Ty.StructField("emb", _Ty.ArrayType(_Ty.DoubleType())),
+                _Ty.StructField("nrm", _Ty.DoubleType()),
+                _Ty.StructField("ivf_cell", _Ty.LongType()),
+            ]
+        )
+        cellsdf = sel.mapInPandas(
+            _sem_cells_kernel(cn, id_col, vec_col), schema=cells_schema
+        )
+        pair_schema = _Ty.StructType(
+            [
+                _Ty.StructField("id_a", sel.schema[id_col].dataType),
+                _Ty.StructField("ivf_cell", _Ty.LongType()),
+                _Ty.StructField("q", _Ty.DoubleType()),
+            ]
+        )
+        pairs = (
+            cellsdf.groupBy("ivf_cell")
+            .applyInPandas(_sem_pairs_kernel(id_col), schema=pair_schema)
+            .withColumn("cos", F.round(F.col("q"), 6))
+            .filter(F.col("cos") >= threshold)
+        )
+        return pairs.groupBy(
+            F.col("id_a").alias(id_col), "ivf_cell"
+        ).agg(
+            F.count("*").alias("n_dups"),
+            F.max("cos").alias("max_cos"),
+        )
     cells = with_ivf_cell(emb, centroids, vec_col=vec_col)
     nrm = F.expr(
         "sqrt(aggregate(transform(emb, a -> a * a), 0D, (acc, v) -> acc + v))"

@@ -77,6 +77,80 @@ def _argmin_struct_sql(centroids: list[list[int]]) -> str:
     return "element_at(array_sort(array(" + ", ".join(structs) + ")), 1)"
 
 
+def _iteration_partials_kernel(centroids: list[list[int]]):
+    """Batch twin of the per-iteration assignment+partial-sum scan: one
+    numpy pass per Arrow batch over the quantized vectors emitting
+    (k, pos, sv, n, wp) partials.  All arithmetic is int64 (the module's
+    fixed-point contract), so partial order cannot change a bit; argmin
+    takes the FIRST minimum == the struct sort's ties-to-lowest-k rule.
+    The centroids live in the closure, NOT as plan literals — the expr
+    formulation re-analyzed + re-codegen'd ~512 inlined literals per
+    Lloyd round."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(centroids, dtype=np.int64)  # (K, dims)
+
+    def kernel(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            Q = np.stack(
+                [np.asarray(v, dtype=np.int64) for v in pdf["q"].to_numpy()]
+            )
+            diff = Q[:, None, :] - C[None, :, :]
+            d = (diff * diff).sum(axis=2)  # exact int64, order-free
+            k = d.argmin(axis=1)  # first min == lowest cluster id on tie
+            dmin = d[np.arange(n), k]
+            K, dims = C.shape
+            # per-(k, pos) partial sums of v; counts and wss partials
+            # ride the pos==0 lane exactly like the expr formulation
+            sv = np.zeros((K, dims), dtype=np.int64)
+            cnt = np.zeros(K, dtype=np.int64)
+            wp = np.zeros(K, dtype=np.int64)
+            np.add.at(sv, k, Q)
+            np.add.at(cnt, k, 1)
+            np.add.at(wp, k, dmin)
+            live = cnt > 0
+            ks = np.flatnonzero(live)
+            out = pd.DataFrame(
+                dict(
+                    k=np.repeat(ks, dims).astype(np.int32),
+                    pos=np.tile(np.arange(dims, dtype=np.int32), len(ks)),
+                    sv=sv[live].reshape(-1),
+                    n=np.repeat(cnt[ks], dims),
+                    wp=np.where(
+                        np.tile(np.arange(dims), len(ks)) == 0,
+                        np.repeat(wp[ks], dims),
+                        0,
+                    ),
+                )
+            )
+            yield out
+
+    return kernel
+
+
+def _iteration_agg_batch(
+    qdf: DataFrame, centroids: list[list[int]]
+) -> DataFrame:
+    """Batch twin of _iteration_agg: same (k, pos, c, n, wpart) table
+    (final stats byte-identical; intermediate wpart uses 0 instead of
+    NULL on pos != 0 lanes, invisible to every downstream SUM)."""
+    part = qdf.mapInPandas(
+        _iteration_partials_kernel(centroids),
+        schema="k int, pos int, sv long, n long, wp long",
+    )
+    return part.groupBy("k", "pos").agg(
+        F.floor(F.sum("sv").cast("double") / F.sum("n"))
+        .cast("long")
+        .alias("c"),
+        F.sum("n").alias("n"),
+        F.sum("wp").alias("wpart"),
+    )
+
+
 def _iteration_agg(qdf: DataFrame, centroids: list[list[int]]) -> DataFrame:
     """One Lloyd pass: per-(cluster, dim) integer sums + floored centroid
     + member count + wss partial, all in ONE scan (count/wss ride the
@@ -137,6 +211,7 @@ def kmeans_cluster_stats(
     iterations: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    impl: str = "batch",
 ) -> DataFrame:
     """Lloyd's k-means for a fixed iteration count; returns per-cluster
     (cluster, n_members, wss, centroid_checksum) of the FINAL assignment
@@ -148,6 +223,9 @@ def kmeans_cluster_stats(
     """
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
+    if impl not in ("batch", "expr"):
+        raise ValueError(f"unknown impl: {impl!r}")
+    it_agg = _iteration_agg_batch if impl == "batch" else _iteration_agg
     cents = seed_centroids(emb, n_clusters, id_col, vec_col)
     if len(cents) < n_clusters:
         raise ValueError(
@@ -156,7 +234,7 @@ def kmeans_cluster_stats(
     qdf = quantized(emb, vec_col)
     # iterations 1..N-1 update centroids driver-side (K*dims ints/round)
     for _ in range(iterations - 1):
-        per = _iteration_agg(qdf, cents).collect()
+        per = it_agg(qdf, cents).collect()
         upd: dict[int, dict[int, int]] = {}
         for r in per:
             upd.setdefault(int(r["k"]), {})[int(r["pos"])] = int(r["c"])
@@ -166,7 +244,7 @@ def kmeans_cluster_stats(
             for k in range(n_clusters)
         ]
     # final pass: same one-scan agg, finished per-cluster JVM-side
-    per = _iteration_agg(qdf, cents)
+    per = it_agg(qdf, cents)
     return (
         per.groupBy("k")
         .agg(

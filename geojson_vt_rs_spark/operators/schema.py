@@ -257,6 +257,60 @@ def create_feature_df(spark, pdf: pd.DataFrame, schema):
     return spark.createDataFrame(sanitize_pdf(pdf, schema), schema=schema)
 
 
+def _sql_lit(v) -> Optional[str]:
+    """One VALUES cell as a SQL literal; None when unrepresentable."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
+    if isinstance(v, (float, np.floating)):
+        if v != v or v in (float("inf"), float("-inf")):
+            return None  # keep NaN/inf semantics to the RDD path
+        return f"CAST({float(v)!r} AS DOUBLE)"
+    if isinstance(v, str):
+        if any(ord(c) < 0x20 for c in v):
+            return None
+        return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    return None
+
+
+def local_relation_df(spark, rows, schema: str, max_rows: int = 4096):
+    """Small driver-side row list -> LocalRelation-backed DataFrame.
+
+    ``spark.createDataFrame(list)`` parallelizes into defaultParallelism
+    slices, so BROADCASTING such a table runs a many-task Python-
+    roundtrip job just to collect it back (0.3-1.3 s/use measured on
+    local[32]).  A literal VALUES scan is a LocalTableScan: broadcasts
+    materialize driver-side with no job.  Rows the literal syntax cannot
+    express (control chars, NaN) and oversized inputs fall back to a
+    single-slice parallelize (one-task build job, bounded plan text)."""
+    names = [c.split()[0] for c in schema.split(",")]
+    if rows and len(rows) <= max_rows:
+        tuples = []
+        for r in rows:
+            lits = [_sql_lit(v) for v in r]
+            if any(x is None for x in lits):
+                tuples = None
+                break
+            tuples.append("(" + ",".join(lits) + ")")
+        if tuples is not None:
+            cast_cols = ", ".join(
+                f"CAST({n} AS {t.strip().split(' ', 1)[1]}) AS {n}"
+                for n, t in zip(names, schema.split(","))
+            )
+            return spark.sql(
+                f"SELECT {cast_cols} FROM (VALUES {', '.join(tuples)}) "
+                f"AS t({', '.join(names)})"
+            )
+    if not rows:
+        return spark.createDataFrame(rows, schema)
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema
+    )
+
+
 def pdf_to_features(pdf: pd.DataFrame) -> Iterator[VtFeature]:
     """Columnar fast path: index numpy object arrays directly instead of
     materializing per-row dicts (to_dict boxes every cell)."""

@@ -149,16 +149,11 @@ def decisions_df(spark: SparkSession, decisions) -> DataFrame:
     A literal VALUES scan is a LocalTableScan: the broadcast materializes
     driver-side with NO job.  Falls back to createDataFrame for huge
     decision tables (bounded plan text)."""
-    if len(decisions) <= _VALUES_DDF_MAX:
-        vals = ", ".join(
-            f"({int(z)},{int(x)},{int(y)},'{a}')" for z, x, y, a in decisions
-        )
-        return spark.sql(
-            "SELECT z, x, y, action FROM "
-            f"(VALUES {vals}) AS t(z, x, y, action)"
-        )
-    return spark.createDataFrame(
-        list(decisions), "z int, x int, y int, action string"
+    from geojson_vt_rs_spark.operators.schema import local_relation_df
+
+    return local_relation_df(
+        spark, list(decisions), "z int, x int, y int, action string",
+        max_rows=_VALUES_DDF_MAX,
     )
 
 

@@ -118,7 +118,11 @@ def tile_polygons_df(spark: SparkSession, index, zoom: int) -> DataFrame:
         "x long, y long, feature_idx int, rings_json string, "
         "id_str string, id_num long"
     )
-    return spark.createDataFrame(rows, schema)
+    # LocalRelation: pip_join broadcasts this table, and an RDD-backed
+    # build ran a 32-task Python job per use (0.5 s warm on local[32])
+    from geojson_vt_rs_spark.operators.schema import local_relation_df
+
+    return local_relation_df(spark, rows, schema)
 
 
 def ray_cast_inside(px: np.ndarray, py: np.ndarray, rings: list) -> np.ndarray:
@@ -238,6 +242,9 @@ def knn_neighbor_tiles(
         F.col("n.ny").alias("ny"),
     ).filter((F.col("ny") >= 0) & (F.col("ny") < z2))
 
+    # NOTE: do NOT coalesce(1) an RDD-backed centers table here — a
+    # coalesced task evaluates every parent slice sequentially, paying
+    # one Python-runner init per slice (measured 1.0 s -> 5 s)
     centers = tiles_centers.select(
         F.col("x").alias("nx"),
         F.col("y").alias("ny"),

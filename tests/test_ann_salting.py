@@ -418,6 +418,110 @@ def test_pq_topk_recall(spark):
     assert len(codes) > 4  # subspace 0 uses a spread of codewords
 
 
+def test_pq_topk_batch_matches_expr(spark):
+    """The default numpy ADC kernel must be BYTE-identical to the pure
+    JVM expr formulation (the oracle shape) — full row set, both the cut
+    ordering keys and the final scores, plus NaN/negative-zero hostile
+    vectors exercising the tie and NaN-ordering rules."""
+    from geojson_vt_rs_spark.operators.ann import pq_codebooks, pq_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    rows = sorted(
+        (int(r["vec_id"]), [float(v) for v in r["embedding"]])
+        for r in emb.filter("vec_id < 16").collect()
+    )
+    cb = pq_codebooks(rows)
+    qv = list(next(v for i, v in rows if i == 0))
+    a = pq_topk(emb, qv, cb, k=10, rescore=40, impl="batch").collect()
+    b = pq_topk(emb, qv, cb, k=10, rescore=40, impl="expr").collect()
+    assert [r.asDict() for r in a] == [r.asDict() for r in b]
+
+    # hostile shapes at the scored stage (the impl fork): NaN lanes
+    # (sort AFTER reals in the argmin), exact-tie vectors (argmin must
+    # take the smaller codeword index), negative zeros (a -0.0 norm
+    # would divide-by-zero the shared rescore, so compare codes+adist)
+    from geojson_vt_rs_spark.operators.ann import pq_adc_scored
+
+    base = rows[0][1]
+    hostile = [
+        (100, [float("nan")] * 64),
+        (101, base[:8] + [float("nan")] * 56),
+        (102, list(base)),  # exact duplicate of codeword row 0
+        (103, [-0.0] * 64),
+        (104, [v + 1e-7 for v in base]),
+    ]
+    hdf = spark.createDataFrame(
+        [(i, [float(v) for v in vec]) for i, vec in hostile],
+        "vec_id long, embedding array<float>",
+    )
+    ha = sorted(
+        (r["vec_id"], r["adist"])
+        for r in pq_adc_scored(hdf, qv, cb, impl="batch").collect()
+    )
+    hb = sorted(
+        (r["vec_id"], r["adist"])
+        for r in pq_adc_scored(hdf, qv, cb, impl="expr").collect()
+    )
+    assert ha == hb
+
+
+def test_ivf_topk_batch_matches_expr(spark):
+    """The default numpy IVF member kernel must be BYTE-identical to the
+    expr formulation, incl. NaN lanes and exact-tie vectors."""
+    from geojson_vt_rs_spark.operators.ann import ivf_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    rows = emb.filter("vec_id < 16").collect()
+    cents = sorted(
+        (int(r["vec_id"]), [float(v) for v in r["embedding"]]) for r in rows
+    )
+    qv = list(next(v for i, v in cents if i == 0))
+    a = ivf_topk(emb, qv, cents, k=10, n_probe=2, impl="batch").collect()
+    b = ivf_topk(emb, qv, cents, k=10, n_probe=2, impl="expr").collect()
+    assert [r.asDict() for r in a] == [r.asDict() for r in b]
+
+    base = cents[0][1]
+    hostile = [
+        (200, [float("nan")] * 64),
+        (201, base[:8] + [float("nan")] * 56),
+        (202, list(base)),
+        (203, [v + 1e-7 for v in base]),
+        (204, list(cents[5][1])),
+    ]
+    hdf = spark.createDataFrame(
+        [(i, [float(v) for v in vec]) for i, vec in hostile],
+        "vec_id long, embedding array<float>",
+    )
+    ha = ivf_topk(hdf, qv, cents, k=5, n_probe=2, impl="batch").collect()
+    hb = ivf_topk(hdf, qv, cents, k=5, n_probe=2, impl="expr").collect()
+    # repr-compare: NaN cos values (NaN embeddings) must match positionally
+    assert [tuple(map(repr, r)) for r in ha] == [
+        tuple(map(repr, r)) for r in hb
+    ]
+
+
+def test_semantic_dedup_batch_matches_expr(spark):
+    """The default per-cell numpy pair kernel must equal the pure-JVM
+    equi-join formulation exactly (full output set)."""
+    from geojson_vt_rs_spark.operators.ann import semantic_dedup
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    rows = emb.filter("vec_id < 16").collect()
+    cents = sorted(
+        (int(r["vec_id"]), [float(v) for v in r["embedding"]]) for r in rows
+    )
+    key = lambda r: (r["vec_id"], r["ivf_cell"])  # noqa: E731
+    a = sorted(
+        (r["vec_id"], r["ivf_cell"], r["n_dups"], r["max_cos"])
+        for r in semantic_dedup(emb, cents, 0.3, impl="batch").collect()
+    )
+    b = sorted(
+        (r["vec_id"], r["ivf_cell"], r["n_dups"], r["max_cos"])
+        for r in semantic_dedup(emb, cents, 0.3, impl="expr").collect()
+    )
+    assert a == b and len(a) > 0
+
+
 def test_semantic_dedup_matches_bruteforce(spark):
     """semantic_dedup == the literal per-cell pairwise definition, and the
     kept set satisfies the greedy keep-first property (no kept row has a

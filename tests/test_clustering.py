@@ -76,6 +76,22 @@ def test_kmeans_real_table_three_way(spark):
     assert sum(n for n, _, _ in got.values()) == 500
 
 
+def test_kmeans_batch_matches_expr(spark):
+    """The default numpy per-round kernel must equal the pure-JVM expr
+    formulation exactly (same centroids every round => same final
+    stats), incl. the empty-cluster and tie shapes."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    a = {
+        r["cluster"]: (r["n_members"], r["wss"], r["centroid_checksum"])
+        for r in kmeans_cluster_stats(emb, impl="batch").collect()
+    }
+    b = {
+        r["cluster"]: (r["n_members"], r["wss"], r["centroid_checksum"])
+        for r in kmeans_cluster_stats(emb, impl="expr").collect()
+    }
+    assert a == b
+
+
 def test_kmeans_empty_cluster_keeps_centroid(spark):
     # seeds are ids 0,1,2; id1 duplicates id0's vector, so every point at
     # equal distance tie-breaks to k=0 and cluster 1 NEVER gains a member

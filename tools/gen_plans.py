@@ -53,8 +53,13 @@ AUDITS = {
     "ann_ivf_topk": [
         ("TakeOrderedAndProject", "distributed top-k over the probed cells"),
         ("!Window", "no WindowExec"),
-        ("!BatchEvalPython|ArrowEvalPython|PythonUDF|MapInPandas",
-         "IVF cell assignment is pure JVM SQL (sortable-struct argmax)"),
+        ("MapInPandas",
+         "IVF cell assignment + probe filter are ONE numpy Arrow pass "
+         "(r6: the inlined-centroid expr chain was a 30 KB plan "
+         "dominated by analysis+codegen; expr twin kept, byte-equality "
+         "asserted)"),
+        ("!BatchEvalPython",
+         "no row-at-a-time Python UDF — Arrow batches only"),
     ],
     "ann_pq_topk": [
         ("TakeOrderedAndProject",
@@ -63,8 +68,12 @@ AUDITS = {
          "no global range-sort: a sort-shaped cut (Exchange range + Sort "
          "+ Local/GlobalLimit) must not green-light this section again"),
         ("!Window", "no WindowExec"),
-        ("!BatchEvalPython|ArrowEvalPython|PythonUDF|MapInPandas",
-         "PQ codes + ADC lookups are pure JVM SQL"),
+        ("MapInPandas",
+         "PQ codes + ADC lookups are ONE numpy Arrow pass (r6: the "
+         "inlined-literal expr chain was an 80 KB plan dominated by "
+         "analysis+codegen; expr twin kept, byte-equality asserted)"),
+        ("!BatchEvalPython",
+         "no row-at-a-time Python UDF — Arrow batches only"),
     ],
     "cosine_near_dup": [
         ("BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin",
@@ -143,13 +152,16 @@ AUDITS = {
         ("!rangepartitioning", "no global range-sort"),
     ],
     "semantic_dedup": [
-        ("BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin",
-         "per-cell pairwise = EQUI-join on ivf_cell (SemDeDup cost model)"),
+        ("FlatMapGroupsInPandas",
+         "per-cell pairwise = ONE vectorized kernel per ivf_cell group "
+         "(SemDeDup cost model: pairwise work bounded per cell; r6 — "
+         "the interpreted per-pair fold was ~10 us/pair; expr equi-join "
+         "twin kept, byte-equality asserted)"),
         ("!BroadcastNestedLoopJoin", "no all-pairs theta join"),
         ("!CartesianProduct", "no cartesian"),
-        ("!Window", "no WindowExec — cell argmax is a sortable-struct expr"),
-        ("!BatchEvalPython|ArrowEvalPython|PythonUDF|MapInPandas",
-         "cell assignment + pair cosines are pure JVM SQL"),
+        ("!Window", "no WindowExec"),
+        ("!BatchEvalPython",
+         "no row-at-a-time Python UDF — Arrow batches only"),
         ("HashAggregate", "partial+final per-(id, cell) agg"),
     ],
     "importance_topk": [
@@ -235,18 +247,19 @@ AUDITS = {
         ("HashAggregate", "tf + per-doc partial+final aggs"),
     ],
     "kmeans_clusters": [
-        ("!BatchEvalPython|ArrowEvalPython|PythonUDF|MapInPandas",
-         "quantize + argmin + update sums are pure JVM integer exprs"),
-        ("!Window", "no WindowExec — argmin is a sortable-struct expr"),
+        ("MapInPandas",
+         "per-round assignment + partial sums are ONE numpy Arrow pass "
+         "over the JVM-quantized vectors (r6: the inlined-centroid expr "
+         "chain re-analyzed + re-codegen'd ~512 literals per Lloyd "
+         "round; expr twin kept, three-way parity asserted)"),
+        ("!BatchEvalPython",
+         "no row-at-a-time Python UDF — Arrow batches only"),
+        ("!Window", "no WindowExec"),
         ("!rangepartitioning", "no global range-sort"),
-        ("HashAggregate", "posexplode -> (k, pos) partial+final agg "
-         "(map-side combine; K*dims result rows per iteration)"),
-        ("!Condition : .*transform",
-         "quantize evaluated ONCE — no Catalyst-inferred scan-side "
-         "size()/isnotnull() filter re-running the transform "
-         "(posexplode_outer + generated-col null filter)"),
+        ("HashAggregate", "(k, pos) partial+final agg over the batch "
+         "partials (map-side combine; K*dims result rows per iteration)"),
         ("!CartesianProduct|BroadcastNestedLoopJoin",
-         "assignment joins nothing — centroids are inlined literals"),
+         "assignment joins nothing — centroids ride the kernel closure"),
     ],
     "sessionize": [
         ("windowspecdefinition\\(user_id",
