@@ -35,6 +35,11 @@ MAX_Z = 30  # keeps spread(y) << 1 below bit 63 (BIGINT sign)
 
 
 def spread_bits(v: Column) -> Column:
+    # BIGINT up front: shiftleft preserves IntegerType, so an int32
+    # input would silently wrap at the first v<<16 stage once coords
+    # reach 2^16 (z >= 16) — the z<=30 guard checks the zoom, this cast
+    # makes it sufficient for any input column type (ADVICE r5)
+    v = v.cast("long")
     for sh, m in _STAGES:
         v = v.bitwiseOR(F.shiftleft(v, sh)).bitwiseAND(F.lit(m))
     return v

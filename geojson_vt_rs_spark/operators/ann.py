@@ -309,12 +309,7 @@ def _ivf_members_kernel(cn: list, probes: list, id_col: str, vec_col: str):
             n = len(pdf)
             if n == 0:
                 continue
-            E = np.stack(
-                [
-                    np.asarray(v).astype(np.float64, copy=False)
-                    for v in pdf[vec_col].to_numpy()
-                ]
-            )
+            E = _stack_vecs(pdf[vec_col].to_numpy(), C.shape[1])
             s = np.zeros((n, len(C)))
             for t in range(C.shape[1]):
                 s += E[:, t, None] * C[None, :, t]
@@ -788,6 +783,25 @@ def pq_adc_table(query_vec: list, codebooks: list) -> list:
     return T
 
 
+def _stack_vecs(cells, dim: int) -> np.ndarray:
+    """Arrow vector cells -> (n, dim) float64 matrix.  NULL vectors and
+    length-mismatched vectors become all-NaN rows: every expr-side fold
+    over them is NULL (zip_with null-pads), and downstream the NaN lane
+    reproduces that exactly — NaN distances sort after reals (the +inf
+    substitution in the kernels), NaN cosines fail every >= filter, and
+    all-NaN tie rows fall to the smallest index like the struct sort's
+    NULL-tie rule.  Null ELEMENTS inside a float array arrive from Arrow
+    as NaN already and need no special case."""
+    out = np.empty((len(cells), dim))
+    for i, v in enumerate(cells):
+        a = None if v is None else np.asarray(v, dtype=np.float64)
+        if a is None or a.ndim != 1 or a.shape[0] != dim:
+            out[i] = np.nan
+        else:
+            out[i] = a
+    return out
+
+
 def _pq_batch_kernel(codebooks: list, T: list, id_col: str, vec_col: str):
     """Batch twin of with_pq_codes + the ADC sum: one numpy pass per
     Arrow batch, byte-identical to the expr formulation —
@@ -807,11 +821,8 @@ def _pq_batch_kernel(codebooks: list, T: list, id_col: str, vec_col: str):
             n = len(pdf)
             if n == 0:
                 continue
-            E = np.stack(
-                [
-                    np.asarray(v).astype(np.float64, copy=False)
-                    for v in pdf[vec_col].to_numpy()
-                ]
+            E = _stack_vecs(
+                pdf[vec_col].to_numpy(), PQ_NSUB * PQ_SUBDIM
             )
             Es = E.reshape(n, PQ_NSUB, PQ_SUBDIM)
             acc = np.zeros((n, PQ_NSUB, PQ_NCODE))
@@ -1004,12 +1015,7 @@ def _sem_cells_kernel(cn: list, id_col: str, vec_col: str):
             n = len(pdf)
             if n == 0:
                 continue
-            E = np.stack(
-                [
-                    np.asarray(v).astype(np.float64, copy=False)
-                    for v in pdf[vec_col].to_numpy()
-                ]
-            )
+            E = _stack_vecs(pdf[vec_col].to_numpy(), C.shape[1])
             s = np.zeros((n, len(C)))
             for t in range(C.shape[1]):
                 s += E[:, t, None] * C[None, :, t]

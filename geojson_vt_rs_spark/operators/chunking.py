@@ -59,8 +59,17 @@ def chunk_pack(
             F.expr(f"size({_spark_words()})"), F.lit(0)
         ).cast("bigint").alias("n_tok"),
     ).withColumn("bucket", F.expr(f"doc_id DIV {bucket_width}"))
+    # materialized once (lazy localCheckpoint): the phase-2 collect and
+    # the phase-3 spans join both consume `counted` — without this each
+    # re-scanned and re-tokenized the whole corpus (ADVICE r5); the
+    # checkpointed storage is freed when the returned plan is GC'd
+    counted = counted.localCheckpoint(eager=False)
 
-    # phase 2: per-bucket sums -> driver prefix scan (n_buckets scalars)
+    # phase 2: per-bucket sums -> driver prefix scan (n_buckets scalars;
+    # bucket_width bounds the driver's work at n_docs / bucket_width
+    # rows — for corpora where ids grow beyond ~256M docs, raise
+    # bucket_width so n_buckets stays in the low millions, the same
+    # bounded-driver class as the pyramid's split decisions)
     per_bucket = (
         counted.groupBy("bucket")
         .agg(F.sum("n_tok").alias("btok"))
@@ -72,8 +81,10 @@ def chunk_pack(
         offsets.append((r["bucket"], acc))
         acc += r["btok"]
     spark = docs.sparkSession
+    from .schema import local_relation_df
+
     off_df = F.broadcast(
-        spark.createDataFrame(offsets, "bucket long, bucket_off long")
+        local_relation_df(spark, offsets, "bucket long, bucket_off long")
     )
 
     # phase 3: within-bucket running sum (partitioned window)

@@ -52,6 +52,12 @@ def sessionize(
     Returns one row per session: (key, session_seq, n_events,
     start_us, end_us, duration_us, sum_value_cents).  ``session_seq``
     is 1-based in (us, id) order within the key.
+
+    NULL timestamps order LAST explicitly (Spark's default is NULLS
+    FIRST, DuckDB's is NULLS LAST — the frozen oracle's order): null-ts
+    rows join the key's final session (their gap test is NULL -> the
+    CASE's ELSE 0 on both engines), asserted in
+    tests/test_sessions_rangejoin.py.
     """
     us = _micros(ts, events.schema[ts].dataType)
     e = events.select(
@@ -60,7 +66,9 @@ def sessionize(
         us.alias("_us"),
         F.col(value_col).alias("_v"),
     )
-    w = Window.partitionBy(key).orderBy(F.col("_us").asc(), F.col("_id").asc())
+    w = Window.partitionBy(key).orderBy(
+        F.col("_us").asc_nulls_last(), F.col("_id").asc()
+    )
     prev = F.lag("_us").over(w)
     flagged = e.withColumn(
         "_new",

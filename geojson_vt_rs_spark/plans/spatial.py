@@ -316,11 +316,17 @@ def mosaic_tiles(
     so downstream verification (PSNR, caption equality) and checkpoint
     resume can audit every partition.
     """
-    # Keep the multi-KB `bytes` column off the RANKING shuffles:
-    #   1. exact two-phase salted top-k on a BYTES-FREE projection
-    #      (cx, cy, image_id — ~40 B/row window shuffles; phase 1 ranks
-    #      within (tile, salt) so a dense metro tile never sorts in one
-    #      task, phase 2 ranks the <= SLOTS*n_salts survivors);
+    # Keep the multi-KB `bytes` column off the RANKING shuffle:
+    #   1. exact top-SLOTS per tile on a BYTES-FREE projection (cx, cy,
+    #      image_id — ~40 B/row): ONE window whose `row_number <= k`
+    #      filter compiles to a PARTIAL WindowGroupLimit below the
+    #      exchange (SPARK-37099) — every map partition ships at most
+    #      SLOTS rows per tile, so a dense metro tile is bounded the
+    #      same way the former explicit salt phase bounded it, with one
+    #      Exchange instead of two.  (The `slot < SLOTS` formulation on
+    #      the post-decrement rank does NOT match the group-limit
+    #      pattern and lowered to a full per-tile sort — r6 plan diff:
+    #      2 Exchange -> 1 in this subplan.)
     #   2. broadcast the survivor ids back onto the cached image rows —
     #      the survivor set is bounded by n_tiles * SLOTS regardless of
     #      input size (mosaic zooms are low, so this stays driver-safe);
@@ -332,21 +338,14 @@ def mosaic_tiles(
     # of original bytes — the right call when real images are 100KB-10MB;
     # for this synthetic table (~1.5KB/png) the extra Arrow pass costs
     # more than it saves, so it is opt-in.
-    n_salts = 16
     ids = images_pts.select("cx", "cy", "image_id")
-    salted = ids.withColumn(
-        "_salt", F.pmod(F.xxhash64(F.col("image_id")), F.lit(n_salts))
-    )
-    w1 = Window.partitionBy("cx", "cy", "_salt").orderBy(F.col("image_id").asc())
-    survivors = (
-        salted.withColumn("_r1", F.row_number().over(w1))
-        .filter(F.col("_r1") <= SLOTS)
-    )
     w2 = Window.partitionBy("cx", "cy").orderBy(F.col("image_id").asc())
     capped_ids = (
-        survivors.withColumn("slot", F.row_number().over(w2) - 1)
-        .filter(F.col("slot") < SLOTS)
-        .select("cx", "cy", "image_id", "slot")
+        ids.withColumn("_r", F.row_number().over(w2))
+        .filter(F.col("_r") <= SLOTS)
+        .select(
+            "cx", "cy", "image_id", (F.col("_r") - 1).alias("slot")
+        )
     )
     # the survivor set is bounded by occupied_tiles * SLOTS — tiny at low
     # mosaic zooms (hint it broadcast), but worst-case 4^zoom * SLOTS at

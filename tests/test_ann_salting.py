@@ -449,9 +449,13 @@ def test_pq_topk_batch_matches_expr(spark):
         (102, list(base)),  # exact duplicate of codeword row 0
         (103, [-0.0] * 64),
         (104, [v + 1e-7 for v in base]),
+        (105, None),  # NULL vector: expr ties every code to j=0
     ]
     hdf = spark.createDataFrame(
-        [(i, [float(v) for v in vec]) for i, vec in hostile],
+        [
+            (i, None if vec is None else [float(v) for v in vec])
+            for i, vec in hostile
+        ],
         "vec_id long, embedding array<float>",
     )
     ha = sorted(
@@ -487,9 +491,13 @@ def test_ivf_topk_batch_matches_expr(spark):
         (202, list(base)),
         (203, [v + 1e-7 for v in base]),
         (204, list(cents[5][1])),
+        (205, None),  # NULL vector: expr cell falls to the first cid
     ]
     hdf = spark.createDataFrame(
-        [(i, [float(v) for v in vec]) for i, vec in hostile],
+        [
+            (i, None if vec is None else [float(v) for v in vec])
+            for i, vec in hostile
+        ],
         "vec_id long, embedding array<float>",
     )
     ha = ivf_topk(hdf, qv, cents, k=5, n_probe=2, impl="batch").collect()

@@ -108,6 +108,58 @@ def test_sessionize_three_way(spark):
     assert duck == got
 
 
+def test_sessionize_null_ts_matches_duckdb(spark):
+    """NULL-timestamp rows: Spark's window orders them LAST explicitly
+    (asc_nulls_last) to match DuckDB's ASC default, so null-ts rows join
+    the key's final session on both engines (ADVICE r5)."""
+    rows = SESS_ROWS + [(40, 1, None, 0.50), (41, 1, None, 0.25),
+                        (50, 4, None, 9.99)]
+    df = spark.createDataFrame(
+        [
+            (eid, u, _ts(us) if us is not None else None, v)
+            for eid, u, us, v in rows
+        ],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    got = {
+        (r["user_id"], r["session_seq"]): (
+            r["n_events"], r["start_us"], r["end_us"],
+            r["duration_us"], r["sum_value_cents"],
+        )
+        for r in sessionize(
+            df, "user_id", "ts", "event_id", "value", gap_us=GAP
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE ev(event_id BIGINT, user_id BIGINT, "
+        "ts TIMESTAMP, value DOUBLE)"
+    )
+    con.executemany(
+        "INSERT INTO ev VALUES (?,?,?,?)",
+        [
+            (eid, u, _ts(us) if us is not None else None, v)
+            for eid, u, us, v in rows
+        ],
+    )
+    duck = {
+        (r[0], r[1]): tuple(r[2:])
+        for r in con.execute(
+            duck_sessionize_sql(
+                "ev", "user_id", "ts", "event_id", "value", gap_us=GAP
+            )
+        ).fetchall()
+    }
+    assert duck == got
+    # the FIRST null-ts row joins user 1's last real session (its gap
+    # test is NULL -> ELSE 0 on both engines); every further null row
+    # has lag == NULL -> prev-IS-NULL opens a new session on both
+    assert got[(1, 2)][0] == 2  # session 2 = event 12 + first null row
+    assert max(seq for u, seq in got if u == 1) == 3
+    # an all-null key still yields exactly one session
+    assert (4, 1) in got and got[(4, 1)][0] == 1
+
+
 def test_sessionize_partitioning_invariance(spark):
     df = spark.createDataFrame(
         [(eid, u, _ts(us), v) for eid, u, us, v in SESS_ROWS],
