@@ -489,6 +489,12 @@ def duck_simhash_sql(table: str = "documents") -> str:
 def ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
     """Exact shingle-set Jaccard for LSH candidate pairs: explode distinct
     shingles, self-join on shingle within candidate pairs, integer ratio."""
+    # NOTE (r6): materializing `sh` once (lazy localCheckpoint) was
+    # A/B'd a WASH here — the three recomputed subtrees (both
+    # intersection sides + sizes) execute concurrently on idle cores,
+    # while the checkpoint serializes a ~4M-row storage write.  On a
+    # busy cluster the 3x recompute wastes capacity; revisit with a
+    # real-cluster measurement before changing.
     sh = docs.select(
         "doc_id", F.explode(F.expr(_spark_shingles())).alias("s")
     ).distinct()
