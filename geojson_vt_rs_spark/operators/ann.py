@@ -783,22 +783,39 @@ def pq_adc_table(query_vec: list, codebooks: list) -> list:
     return T
 
 
-def _stack_vecs(cells, dim: int) -> np.ndarray:
-    """Arrow vector cells -> (n, dim) float64 matrix.  NULL vectors and
-    length-mismatched vectors become all-NaN rows: every expr-side fold
-    over them is NULL (zip_with null-pads), and downstream the NaN lane
-    reproduces that exactly — NaN distances sort after reals (the +inf
-    substitution in the kernels), NaN cosines fail every >= filter, and
-    all-NaN tie rows fall to the smallest index like the struct sort's
-    NULL-tie rule.  Null ELEMENTS inside a float array arrive from Arrow
-    as NaN already and need no special case."""
+def _stack_vecs(cells, dim: int, long_vecs: str = "nan") -> np.ndarray:
+    """Arrow vector cells -> (n, dim) float64 matrix, reproducing the
+    expr twins' ragged/NULL semantics via NaN lanes (downstream, NaN
+    distances sort after reals through the +inf substitution, NaN
+    cosines fail every >= filter, and all-NaN tie rows fall to the
+    smallest index like the struct sort's NULL-tie rule):
+
+    * NULL vector -> all-NaN row (every fold over it is NULL);
+    * SHORTER than ``dim`` -> values + NaN tail (zip_with pads the short
+      side with nulls, so folds touching the tail are NULL while — for
+      the PQ per-subspace slices — folds fully inside the prefix stay
+      real);
+    * LONGER than ``dim``: op-dependent.  ``long_vecs="nan"`` (IVF /
+      SemDeDup) -> all-NaN row, because zip_with pads the CENTROID side
+      and every dot is NULL; ``long_vecs="truncate"`` (PQ) -> first
+      ``dim`` values, because the subspace slices never index past dim.
+
+    Null ELEMENTS inside a float array arrive from Arrow as NaN already
+    and need no special case."""
     out = np.empty((len(cells), dim))
     for i, v in enumerate(cells):
         a = None if v is None else np.asarray(v, dtype=np.float64)
-        if a is None or a.ndim != 1 or a.shape[0] != dim:
+        if a is None or a.ndim != 1:
             out[i] = np.nan
-        else:
+        elif a.shape[0] == dim:
             out[i] = a
+        elif a.shape[0] < dim:
+            out[i, : a.shape[0]] = a
+            out[i, a.shape[0]:] = np.nan
+        elif long_vecs == "truncate":
+            out[i] = a[:dim]
+        else:
+            out[i] = np.nan
     return out
 
 
@@ -822,7 +839,8 @@ def _pq_batch_kernel(codebooks: list, T: list, id_col: str, vec_col: str):
             if n == 0:
                 continue
             E = _stack_vecs(
-                pdf[vec_col].to_numpy(), PQ_NSUB * PQ_SUBDIM
+                pdf[vec_col].to_numpy(), PQ_NSUB * PQ_SUBDIM,
+                long_vecs="truncate",
             )
             Es = E.reshape(n, PQ_NSUB, PQ_SUBDIM)
             acc = np.zeros((n, PQ_NSUB, PQ_NCODE))

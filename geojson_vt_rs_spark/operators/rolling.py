@@ -32,7 +32,13 @@ def rolling_stats(
 ) -> DataFrame:
     """Per-event trailing-window stats: (id, key, us, win_events,
     win_value_cents) where the window is the inclusive event-time
-    range ``[us - window_us + 1, us]`` within the key."""
+    range ``[us - window_us + 1, us]`` within the key.
+
+    CONTRACT: ``ts`` must be non-null — a RANGE frame over a NULL
+    ordering value has engine-specific placement (Spark NULLS FIRST vs
+    DuckDB NULLS LAST), so null-ts rows would break oracle parity
+    silently (ADVICE r5; sessionize pins NULLS LAST explicitly, but a
+    RANGE frame's null group has no meaningful trailing window at all)."""
     us = _micros(ts, events.schema[ts].dataType)
     cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("bigint")
     e = events.select(

@@ -286,6 +286,14 @@ def local_relation_df(spark, rows, schema: str, max_rows: int = 4096):
     materialize driver-side with no job.  Rows the literal syntax cannot
     express (control chars, NaN) and oversized inputs fall back to a
     single-slice parallelize (one-task build job, bounded plan text)."""
+    if "<" in schema:
+        # nested types embed commas — the naive DDL split below would
+        # mangle them; such tables take the RDD path
+        if not rows:
+            return spark.createDataFrame(rows, schema)
+        return spark.createDataFrame(
+            spark.sparkContext.parallelize(rows, 1), schema
+        )
     names = [c.split()[0] for c in schema.split(",")]
     if rows and len(rows) <= max_rows:
         tuples = []

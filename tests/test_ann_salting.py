@@ -450,6 +450,8 @@ def test_pq_topk_batch_matches_expr(spark):
         (103, [-0.0] * 64),
         (104, [v + 1e-7 for v in base]),
         (105, None),  # NULL vector: expr ties every code to j=0
+        (106, base[:60]),       # short: partial subspace ties to j=0
+        (107, list(base) + [0.25] * 6),  # long: slices never pass dim
     ]
     hdf = spark.createDataFrame(
         [
@@ -492,6 +494,8 @@ def test_ivf_topk_batch_matches_expr(spark):
         (203, [v + 1e-7 for v in base]),
         (204, list(cents[5][1])),
         (205, None),  # NULL vector: expr cell falls to the first cid
+        (206, base[:60]),       # short: every dot NULL -> first cid
+        (207, list(base) + [0.25] * 6),  # long: centroid side pads NULL
     ]
     hdf = spark.createDataFrame(
         [
