@@ -431,15 +431,23 @@ def lsh_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    impl: str = "batch",
 ) -> DataFrame:
     """LSH-bucketed cosine top-k: prune to buckets within hamming distance
     <= probe_radius of the query's bucket (multi-probe), rescore exactly,
     rank with a deterministic tie-break.  Every float op is a sequential
-    left fold, byte-identical to the DuckDB twin (duck_lsh_topk_sql)."""
+    left fold, byte-identical to the DuckDB twin (duck_lsh_topk_sql).
+
+    ``impl`` picks the bucket-assignment twin (see with_lsh_bucket) —
+    the r5 batch kernel is byte-identical incl. null/NaN lanes; as the
+    default here (r6) it drops the per-query inlined-hyperplane plan
+    (cold 1.7 -> 0.6 s at sf0.1, identical rows asserted)."""
     dim = len(query_vec)
     qbucket = query_bucket(query_vec, bits, seed)
 
-    bucketed = with_lsh_bucket(emb, dim, bits, seed, vec_col=vec_col)
+    bucketed = with_lsh_bucket(
+        emb, dim, bits, seed, vec_col=vec_col, impl=impl
+    )
     # multi-probe as a hamming-ball predicate: JVM bit_count, no bucket
     # enumeration (stays O(1) expression at any bits/radius)
     cand = bucketed.filter(

@@ -47,8 +47,11 @@ AUDITS = {
     "ann_lsh_topk": [
         ("TakeOrderedAndProject", "distributed top-k over the pruned bucket"),
         ("!Window", "no WindowExec"),
-        ("!BatchEvalPython|ArrowEvalPython|PythonUDF|MapInPandas",
-         "LSH buckets are pure JVM SQL expressions (no Python worker)"),
+        ("MapInPandas",
+         "LSH buckets are the r5 byte-identical numpy kernel (r6 default "
+         "here too: drops the inlined-hyperplane plan; expr twin kept)"),
+        ("!BatchEvalPython",
+         "no row-at-a-time Python UDF — Arrow batches only"),
     ],
     "ann_ivf_topk": [
         ("TakeOrderedAndProject", "distributed top-k over the probed cells"),
