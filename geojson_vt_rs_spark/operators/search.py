@@ -97,11 +97,22 @@ def bm25_topk(
     duck_bm25_sql."""
     base = docs.filter(F.col("text").isNotNull())
     words = _spark_words()
-    n_docs, total_tokens = base.select(
-        F.count(F.lit(1)), F.sum(F.expr(f"size({words})").cast("long"))
-    ).collect()[0]
+    # the stats scalar agg and the term-derivation agg are independent
+    # Spark actions — run them as concurrent jobs (guide §2.6; one job
+    # latency instead of two sequential scans' worth)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _stats():
+        return base.select(
+            F.count(F.lit(1)), F.sum(F.expr(f"size({words})").cast("long"))
+        ).collect()[0]
+
+    with ThreadPoolExecutor(2) as ex:
+        f_stats = ex.submit(_stats)
+        f_terms = ex.submit(corpus_query_terms, docs, n_query_terms)
+        n_docs, total_tokens = f_stats.result()
+        terms = f_terms.result()
     n_docs, total_tokens = int(n_docs), int(total_tokens)
-    terms = corpus_query_terms(docs, n_query_terms)
     if not terms:
         raise ValueError("corpus has no tokens")
 
