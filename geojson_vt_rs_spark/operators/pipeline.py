@@ -641,8 +641,11 @@ def _rs_body(options: Options):
                     for c in _RS_RENDER_ONLY:
                         # explicit object-dtype nulls: keeps Arrow types
                         # clean and silences pandas' all-NA concat warning
+                        # (np.full fills at C speed — a [None]*n list pays
+                        # pandas' per-element listlike construction)
                         sub[c] = pd.Series(
-                            [None] * len(sub), dtype=object, index=sub.index
+                            np.full(len(sub), None, dtype=object),
+                            index=sub.index,
                         )
                     parts.append(sub)
                     g = sub.groupby(["z", "x", "y"], sort=False)[
@@ -668,7 +671,9 @@ def _rs_body(options: Options):
                 typ = _round_half_away(
                     (latv * z2p - y[is_pt].astype(np.float64)) * ext_f
                 ).astype(np.int64)
-                d = {c: [None] * n_pt for c in RS_COLS}
+                d = {
+                    c: np.full(n_pt, None, dtype=object) for c in RS_COLS
+                }
                 d.update(
                     row_kind=RS_RENDER,
                     z=z[is_pt], x=x[is_pt], y=y[is_pt],
@@ -906,7 +911,8 @@ def convert_wrap_render_split_stage(
 
 
 def drill_descend_stage(
-    df: DataFrame, options: Options, root: tuple, target: tuple
+    df: DataFrame, options: Options, root: tuple, target: tuple,
+    tile_sink: dict | None = None,
 ) -> DataFrame:
     """The ENTIRE root-to-target drill descent as ONE feature-parallel
     mapInPandas pass (get_tile cold-miss path, lib.rs:184-223).
@@ -927,10 +933,49 @@ def drill_descend_stage(
     persisted order keys), RS_LEAF (retained source rows of leaf tiles),
     RS_CAGG (per-tile (tnp, n_emitted) partials — num_points carries the
     tile's source-point sum, n_emitted the rendered-emission sum — the
-    driver finishes stats rows from these without another job)."""
+    driver finishes stats rows from these without another job).
+
+    ``tile_sink={"path": staging_dir, "existing": tile_key_set}`` moves
+    the RS_RENDER rows OUT of the Arrow output entirely: each task
+    writes its rendered tile features straight into the staging dir as
+    store-schema parquet (pyarrow, one file per (task, z), dot-prefixed
+    tmp + atomic os.replace under a DETERMINISTIC final name — retried
+    or speculatively duplicated tasks overwrite with identical content,
+    so the write is idempotent and the caller's stage-then-rename commit
+    point is unchanged).  The render rows are ~85 % of the pass's output
+    volume and only ever existed to be parquet-written by a follow-up
+    job: sinking them in-kernel removes their Python->JVM boundary
+    crossing, the JVM cache copy, AND the separate write job (4M drill
+    pass 19.7 s -> see OPTIMIZATION_r06.md).  Rows of tiles already in
+    ``existing`` are excluded in-kernel (the former broadcast
+    anti-join); stats partials still count them, matching the Spark
+    path.  The staging dir must be a shared POSIX path — the same
+    contract CheckpointedPyramid's rename-based commits already
+    require."""
     az, ax, ay = root
     cz, cx, cy = target
     max_zoom = options.max_zoom
+
+    sink_path = None
+    arrow_schema = None
+    ex_keys = None
+    if tile_sink is not None:
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        from geojson_vt_rs_spark.operators.schema import TILE_STORE_DDL
+
+        store = T.StructType.fromDDL(TILE_STORE_DDL)
+        arrow_schema = to_arrow_schema(
+            T.StructType([f for f in store.fields if f.name != "z"])
+        )
+        sink_path = tile_sink["path"]
+        ex_keys = np.asarray(
+            sorted(
+                (int(tz) << 56) | (int(tx) << 28) | int(ty)
+                for tz, tx, ty in (tile_sink.get("existing") or ())
+            ),
+            dtype=np.int64,
+        )
 
     def decide(tz: int, tx: int, ty: int) -> str:
         if tz == max_zoom:
@@ -942,6 +987,87 @@ def drill_descend_stage(
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         body = _rs_body(options)
+        if tile_sink is not None:
+            import pyarrow as pa
+
+            buf: dict = {}  # z -> [store-schema RecordBatch, ...]
+
+            def sink_buffer(rend: pd.DataFrame) -> None:
+                # store-shape the render rows (the column mapping the
+                # Spark-side tiles write performed) and hold them as
+                # Arrow batches until the task finishes
+                zs = rend["z"].to_numpy().astype(np.int64)
+                xs_ = rend["x"].to_numpy().astype(np.int64)
+                ys_ = rend["y"].to_numpy().astype(np.int64)
+                keep = np.asarray(
+                    rend["sub_idx"].to_numpy() >= 0, dtype=bool
+                )
+                if len(ex_keys):
+                    keep = keep & ~np.isin(
+                        (zs << 56) | (xs_ << 28) | ys_, ex_keys
+                    )
+                if not keep.any():
+                    return
+                if not keep.all():
+                    rend = rend.loc[keep]
+                    zs = zs[keep]
+                for zv in np.unique(zs):
+                    m = zs == zv
+                    sub = rend if m.all() else rend.loc[m]
+                    n = len(sub)
+                    none_i = np.full(n, None, dtype=object)
+                    pdf_out = pd.DataFrame(
+                        {
+                            "x": sub["x"].to_numpy(),
+                            "y": sub["y"].to_numpy(),
+                            "feature_idx": none_i,
+                            "type": sub["type"].to_numpy(),
+                            "kind": sub["kind"].to_numpy(),
+                            "geometry_json": sub["geometry_json"].to_numpy(),
+                            "tags_json": sub["tags_json"].to_numpy(),
+                            "tile_id_str": sub["id_str"].to_numpy(),
+                            "tile_id_num": sub["id_num"].to_numpy(),
+                            "tile_id_float": sub["id_float"].to_numpy(),
+                            "tile_num_points": none_i,
+                            "tile_num_simplified": none_i,
+                            "action": np.full(n, "drill", dtype=object),
+                            "world_copy": sub["world_copy"].to_numpy(),
+                            "feature_seq": sub["feature_seq"].to_numpy(),
+                            "slice_path": sub["slice_path"].to_numpy(),
+                            "sub_idx": sub["sub_idx"].to_numpy(),
+                        }
+                    )
+                    buf.setdefault(int(zv), []).append(
+                        pa.RecordBatch.from_pandas(
+                            pdf_out, schema=arrow_schema,
+                            preserve_index=False,
+                        )
+                    )
+
+            def sink_flush() -> None:
+                if not buf:
+                    return
+                import os
+
+                import pyarrow.parquet as pq
+                from pyspark import TaskContext
+
+                ctx = TaskContext.get()
+                pid = ctx.partitionId() if ctx is not None else 0
+                att = ctx.taskAttemptId() if ctx is not None else 0
+                for zv, batches_z in buf.items():
+                    d = os.path.join(sink_path, f"z={zv}")
+                    os.makedirs(d, exist_ok=True)
+                    final = os.path.join(d, f"part-{pid:05d}.parquet")
+                    tmp = os.path.join(d, f".part-{pid:05d}.tmp{att}")
+                    pq.write_table(
+                        pa.Table.from_batches(batches_z, schema=arrow_schema),
+                        tmp,
+                        compression="snappy",
+                    )
+                    os.replace(tmp, final)
+                buf.clear()
+
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -949,21 +1075,25 @@ def drill_descend_stage(
             cur = pdf
             while len(cur):
                 # the frontier holds at most 4 distinct tiles (the
-                # previous path tile's children; the root at entry)
+                # previous path tile's children; the root at entry) —
+                # dedupe first and assign actions with one vectorized
+                # mask per tile (a per-row itertuples pass cost ~20 %
+                # of the kernel at 10^5-row frontiers)
+                zc = cur["z"].to_numpy()
+                xc = cur["x"].to_numpy()
+                yc = cur["y"].to_numpy()
                 tiles = {
                     (int(tz), int(tx), int(ty))
-                    for tz, tx, ty in cur[["z", "x", "y"]].itertuples(
-                        index=False
-                    )
+                    for tz, tx, ty in cur[["z", "x", "y"]]
+                    .drop_duplicates()
+                    .itertuples(index=False)
                 }
                 amap = {t: decide(*t) for t in tiles}
+                action = np.empty(len(cur), dtype=object)
+                for (tz, tx, ty), act in amap.items():
+                    action[(zc == tz) & (xc == tx) & (yc == ty)] = act
                 cur = cur.reset_index(drop=True)
-                cur["action"] = [
-                    amap[(int(tz), int(tx), int(ty))]
-                    for tz, tx, ty in cur[["z", "x", "y"]].itertuples(
-                        index=False
-                    )
-                ]
+                cur["action"] = action
                 # tnp partial per tile from its source rows
                 g = cur.groupby(["z", "x", "y"], sort=False)["num_points"].sum()
                 for k, v in g.items():
@@ -977,7 +1107,8 @@ def drill_descend_stage(
                     lv.insert(0, "row_kind", RS_LEAF)
                     for c in _RS_RENDER_ONLY:
                         lv[c] = pd.Series(
-                            [None] * len(lv), dtype=object, index=lv.index
+                            np.full(len(lv), None, dtype=object),
+                            index=lv.index,
                         )
                     yield lv[RS_COLS]
                 parts, _cagg = body(cur)
@@ -992,17 +1123,26 @@ def drill_descend_stage(
                         for k, v in ns.items():
                             key = (int(k[0]), int(k[1]), int(k[2]))
                             stats.setdefault(key, [0, 0])[1] += int(v)
-                        yield rend[RS_COLS]
+                        if tile_sink is None:
+                            yield rend[RS_COLS]
+                        else:
+                            sink_buffer(rend)
                     ch = part[part["row_kind"] == RS_CHILD]
                     if len(ch):
                         nxt.append(ch[TILED_COLS])
-                cur = (
-                    pd.concat(nxt, ignore_index=True)
-                    if nxt
-                    else pd.DataFrame(columns=TILED_COLS)
-                )
+                # exactly one tile splits per level (the path tile), so
+                # nxt is nearly always a single frame — skip the concat
+                # (whose all-NA object scan costs ~0.2 s per 10^5 rows)
+                if not nxt:
+                    cur = pd.DataFrame(columns=TILED_COLS)
+                elif len(nxt) == 1:
+                    cur = nxt[0].reset_index(drop=True)
+                else:
+                    cur = pd.concat(nxt, ignore_index=True)
             if stats:
                 yield _rs_cagg_frame(stats)[RS_COLS]
+        if tile_sink is not None:
+            sink_flush()
 
     return df.mapInPandas(kernel, schema=RS_SCHEMA)
 

@@ -863,7 +863,6 @@ class CheckpointedPyramid:
         from geojson_vt_rs_spark.operators.pipeline import (
             RS_CAGG,
             RS_LEAF,
-            RS_RENDER,
             drill_descend_stage,
         )
         from geojson_vt_rs_spark.plans.pyramid import TILED_COLS
@@ -880,33 +879,22 @@ class CheckpointedPyramid:
         )
 
         # the ancestor's leaf rows may sit in one parquet file; spread
-        # them so the descent renders on every core
+        # them so the descent renders on every core.  The rendered tile
+        # features (~85 % of the pass's output rows) sink to the staging
+        # parquet IN-KERNEL (drill_descend_stage tile_sink: idempotent
+        # per-task files, existing-tile exclusion in-kernel) — they
+        # never cross the Python->JVM boundary and need no write job.
         par = spark.sparkContext.defaultParallelism
         step = drill_descend_stage(
             frontier.select(*TILED_COLS).repartition(par), o,
             (az, ax, ay), (cz, cx, cy),
+            tile_sink=dict(path=stg_tiles, existing=existing),
         ).persist()
 
-        # one wave: tile-feature write + leaf write + partials collection
-        # run as concurrent jobs over the cached pass
-        def _write_tiles():
-            step.filter(
-                (F.col("row_kind") == RS_RENDER) & (F.col("sub_idx") >= 0)
-            ).select(
-                "z", "x", "y",
-                F.lit(None).cast("int").alias("feature_idx"),
-                "type", "kind", "geometry_json", "tags_json",
-                F.col("id_str").alias("tile_id_str"),
-                F.col("id_num").alias("tile_id_num"),
-                F.col("id_float").alias("tile_id_float"),
-                F.lit(None).cast("int").alias("tile_num_points"),
-                F.lit(None).cast("int").alias("tile_num_simplified"),
-                F.lit("drill").alias("action"),
-                "world_copy", "feature_seq", "slice_path", "sub_idx",
-            ).join(exist_df, ["z", "x", "y"], "left_anti").write.mode(
-                "append"
-            ).partitionBy("z").parquet(stg_tiles)
-
+        # one wave: leaf write + partials collection run as concurrent
+        # jobs over the cached pass (the tile files appear as a side
+        # effect of whichever job computes it first; duplicated
+        # concurrent compute re-writes identical files atomically)
         def _write_leaves():
             step.filter(F.col("row_kind") == RS_LEAF).join(
                 exist_df, ["z", "x", "y"], "left_anti"
@@ -921,11 +909,9 @@ class CheckpointedPyramid:
                 .toPandas()
             )
 
-        with ThreadPoolExecutor(3) as ex:
-            tf = ex.submit(_write_tiles)
+        with ThreadPoolExecutor(2) as ex:
             lf = ex.submit(_write_leaves)
             sf = ex.submit(_collect_stats)
-            tf.result()
             lf.result()
             partials = sf.result()
         step.unpersist()
