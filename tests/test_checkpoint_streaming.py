@@ -602,3 +602,114 @@ def test_store_routes_identical_tiles(spark, tmp_path):
             "feature_idx", "type", "kind", "geometry_json", "tags_json"
         ).toPandas()
         assert ta.values.tolist() == tb.values.tolist(), (z, x, y)
+
+
+def test_drill_tile_sink_matches_yield_path(spark, tmp_path):
+    """drill_descend_stage's in-kernel tile sink (tile_sink=...) must
+    write EXACTLY the rows the yield-path's Spark-side write produced:
+    same store schema, same row set, existing-tile exclusion applied,
+    and idempotent under re-execution (deterministic filenames +
+    atomic rename — a retried/duplicated task overwrites with
+    identical content)."""
+    import glob
+    import os
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from geojson_vt_rs_spark.operators.pipeline import (
+        RS_CAGG,
+        RS_LEAF,
+        RS_RENDER,
+        drill_descend_stage,
+    )
+    from geojson_vt_rs_spark.plans.pyramid import TILED_COLS
+
+    out = str(tmp_path / "sinkstore")
+    feats = read_geojson_features(
+        spark, "/root/reference/fixtures/us-states.json"
+    )
+    opts = Options()
+    cp = CheckpointedPyramid(spark, opts)
+    cp.run(feats, out)
+
+    leaf = spark.read.parquet(os.path.join(out, "leaves")).filter(
+        "z = 0 and x = 0 and y = 0"
+    )
+    src = leaf.select(*TILED_COLS).repartition(4)
+    root, target = (0, 0, 0), (7, 37, 48)
+    existing = {(0, 0, 0), (5, 9, 11)}  # ancestor + a fake prior cousin
+
+    # yield path: render rows cross the boundary, shaped by the former
+    # Spark-side write expression
+    plain = drill_descend_stage(src, opts, root, target).persist()
+    want_tiles = (
+        plain.filter(
+            (F.col("row_kind") == RS_RENDER) & (F.col("sub_idx") >= 0)
+        )
+        .select(
+            "z", "x", "y",
+            F.lit(None).cast("int").alias("feature_idx"),
+            "type", "kind", "geometry_json", "tags_json",
+            F.col("id_str").alias("tile_id_str"),
+            F.col("id_num").alias("tile_id_num"),
+            F.col("id_float").alias("tile_id_float"),
+            F.lit(None).cast("int").alias("tile_num_points"),
+            F.lit(None).cast("int").alias("tile_num_simplified"),
+            F.lit("drill").alias("action"),
+            "world_copy", "feature_seq", "slice_path", "sub_idx",
+        )
+        .filter(
+            ~F.struct("z", "x", "y").isin(
+                [F.struct(F.lit(a), F.lit(b), F.lit(c)) for a, b, c in existing]
+            )
+        )
+        .toPandas()
+    )
+    plain_kinds = {
+        r["row_kind"]: r["n"]
+        for r in plain.groupBy("row_kind").agg(F.count("*").alias("n")).collect()
+    }
+    plain.unpersist()
+
+    # sink path
+    stg = str(tmp_path / "stg_tiles")
+    sunk = drill_descend_stage(
+        src, opts, root, target,
+        tile_sink=dict(path=stg, existing=existing),
+    ).persist()
+    sunk_kinds = {
+        r["row_kind"]: r["n"]
+        for r in sunk.groupBy("row_kind").agg(F.count("*").alias("n")).collect()
+    }
+    sunk.unpersist()
+
+    # the sink output yields NO render rows; leaves/cagg identical
+    assert RS_RENDER not in sunk_kinds
+    assert sunk_kinds[RS_LEAF] == plain_kinds[RS_LEAF]
+    assert sunk_kinds[RS_CAGG] == plain_kinds[RS_CAGG]
+
+    got_tiles = spark.read.parquet(stg).toPandas()
+    cols = sorted(want_tiles.columns)
+    assert sorted(got_tiles.columns) == cols
+    key = ["z", "x", "y", "world_copy", "feature_seq", "slice_path", "sub_idx"]
+    a = got_tiles[cols].sort_values(key, ignore_index=True)
+    b = want_tiles[cols].sort_values(key, ignore_index=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=True)
+    # exclusion applied: no row for any existing tile
+    assert not set(
+        map(tuple, got_tiles[["z", "x", "y"]].drop_duplicates().to_numpy())
+    ) & existing
+
+    # idempotence: re-executing the pass overwrites the same files with
+    # identical content (no duplicates, no leftover visible tmp files)
+    files1 = sorted(glob.glob(f"{stg}/z=*/part-*.parquet"))
+    drill_descend_stage(
+        src, opts, root, target,
+        tile_sink=dict(path=stg, existing=existing),
+    ).write.format("noop").mode("overwrite").save()
+    files2 = sorted(glob.glob(f"{stg}/z=*/part-*.parquet"))
+    assert files1 == files2
+    again = spark.read.parquet(stg).toPandas()
+    c = again[cols].sort_values(key, ignore_index=True)
+    pd.testing.assert_frame_equal(c, b, check_dtype=True)
